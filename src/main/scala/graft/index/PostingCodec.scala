@@ -1,0 +1,119 @@
+package graft.index
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Binary codec for posting blocks.
+  *
+  * A block holds the postings of one `(field, term, segment, block_id)` key,
+  * where `block_id = doc_id >>> blockBits` — i.e. blocks cover fixed docId
+  * *ranges*, so block assignment is embarrassingly parallel and head-term
+  * posting lists shard across blocks with no skew (this replaces the
+  * reference's single-node 128-doc posting blocks, `[tantivy, public]`, with
+  * a shuffle-friendly equivalent; skip metadata `block_max_tf` /
+  * `first_doc` / `last_doc` plays the role of tantivy's block-max data for
+  * WAND pruning).
+  *
+  * Layouts (all varint = unsigned LEB128):
+  *   - docIds: delta-encoded varints (first absolute within segment)
+  *   - tfs: varints
+  *   - norms: one raw byte per doc (u8 fieldnorm id)
+  *   - positions: per doc, `tf` delta-encoded varint positions, concatenated
+  */
+object PostingCodec {
+
+  def writeVarInt(buf: ArrayBuffer[Byte], v0: Int): Unit = {
+    var v = v0
+    while ((v & ~0x7F) != 0) {
+      buf += ((v & 0x7F) | 0x80).toByte
+      v >>>= 7
+    }
+    buf += v.toByte
+  }
+
+  final class Reader(bytes: Array[Byte]) {
+    private var p = 0
+    def hasNext: Boolean = p < bytes.length
+    def readVarInt(): Int = {
+      var shift = 0
+      var out = 0
+      var b = 0
+      do {
+        b = bytes(p) & 0xFF
+        p += 1
+        out |= (b & 0x7F) << shift
+        shift += 7
+      } while ((b & 0x80) != 0)
+      out
+    }
+  }
+
+  /** One decoded posting. */
+  final case class Posting(docId: Int, tf: Int, normId: Int, positions: Array[Int])
+
+  def packDocIds(sortedDocIds: Array[Int]): Array[Byte] = {
+    val buf = new ArrayBuffer[Byte](sortedDocIds.length * 2)
+    var prev = 0
+    var first = true
+    sortedDocIds.foreach { d =>
+      writeVarInt(buf, if (first) d else d - prev)
+      prev = d
+      first = false
+    }
+    buf.toArray
+  }
+
+  def packVarInts(vs: Array[Int]): Array[Byte] = {
+    val buf = new ArrayBuffer[Byte](vs.length * 2)
+    vs.foreach(writeVarInt(buf, _))
+    buf.toArray
+  }
+
+  /** positions per doc, deltas within each doc's list. */
+  def packPositions(positionsPerDoc: Array[Array[Int]]): Array[Byte] = {
+    val buf = new ArrayBuffer[Byte]()
+    positionsPerDoc.foreach { ps =>
+      var prev = 0
+      var first = true
+      ps.foreach { p =>
+        writeVarInt(buf, if (first) p else p - prev)
+        prev = p
+        first = false
+      }
+    }
+    buf.toArray
+  }
+
+  def unpackDocIds(bytes: Array[Byte], count: Int): Array[Int] = {
+    val r = new Reader(bytes)
+    val out = new Array[Int](count)
+    var acc = 0
+    var i = 0
+    while (i < count) {
+      acc = if (i == 0) r.readVarInt() else acc + r.readVarInt()
+      out(i) = acc
+      i += 1
+    }
+    out
+  }
+
+  def unpackVarInts(bytes: Array[Byte], count: Int): Array[Int] = {
+    val r = new Reader(bytes)
+    Array.fill(count)(r.readVarInt())
+  }
+
+  /** Decode positions given the per-doc tf counts. */
+  def unpackPositions(bytes: Array[Byte], tfs: Array[Int]): Array[Array[Int]] = {
+    val r = new Reader(bytes)
+    tfs.map { tf =>
+      val ps = new Array[Int](tf)
+      var acc = 0
+      var i = 0
+      while (i < tf) {
+        acc = if (i == 0) r.readVarInt() else acc + r.readVarInt()
+        ps(i) = acc
+        i += 1
+      }
+      ps
+    }
+  }
+}

@@ -1,0 +1,313 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+import graft.analysis.Analyzers
+import graft.index.{IndexSchema, PostingCodec}
+
+/** Posting-block decoders exposed to Spark plans. */
+object PostingUdfs {
+  final case class PEntry(doc_id: Int, tf: Int, norm_id: Int)
+  final case class PEntryPos(doc_id: Int, tf: Int, norm_id: Int, positions: Array[Int])
+
+  val unpack: UserDefinedFunction =
+    udf((docIds: Array[Byte], tfs: Array[Byte], norms: Array[Byte], n: Int) => {
+      val ids = PostingCodec.unpackDocIds(docIds, n)
+      val tf = PostingCodec.unpackVarInts(tfs, n)
+      Array.tabulate(n)(i => PEntry(ids(i), tf(i), norms(i) & 0xFF))
+    })
+
+  val unpackPos: UserDefinedFunction =
+    udf((docIds: Array[Byte], tfs: Array[Byte], norms: Array[Byte], pos: Array[Byte], n: Int) => {
+      val ids = PostingCodec.unpackDocIds(docIds, n)
+      val tf = PostingCodec.unpackVarInts(tfs, n)
+      val ps = PostingCodec.unpackPositions(pos, tf)
+      Array.tabulate(n)(i => PEntryPos(ids(i), tf(i), norms(i) & 0xFF, ps(i)))
+    })
+
+  /** Count phrase matches: positions_i must contain a value near
+    * `base + offset_i` for every term. slop=0 is exact adjacency; slop>0
+    * allows each term to deviate by at most `slop` positions from its
+    * expected spot (a documented simplification of Lucene's move-based slop;
+    * identical for slop=0 and for two-term phrases).
+    */
+  def phraseTf(positionsPerTerm: Seq[Seq[Int]], offsets: Seq[Int], slop: Int): Int = {
+    val first = positionsPerTerm.head
+    val rest = positionsPerTerm.tail.zip(offsets.tail)
+    val base0 = offsets.head
+    first.count { p0 =>
+      val base = p0 - base0
+      rest.forall { case (ps, off) =>
+        val want = base + off
+        if (slop == 0) java.util.Arrays.binarySearch(ps.toArray, want) >= 0
+        else ps.exists(q => math.abs(q - want) <= slop)
+      }
+    }
+  }
+
+  val phraseTfUdf: UserDefinedFunction =
+    udf((pos: Seq[Seq[Int]], offsets: Seq[Int], slop: Int) => phraseTf(pos, offsets, slop))
+}
+
+/** Plans a [[Query]] into a DataFrame of `(segment_id, doc_id, score)` and
+  * runs collectors over it. The per-segment collect + merge of the reference
+  * (`index_holder.rs:394-402`) maps to partition parallelism + Spark's
+  * partial/final aggregation and `TakeOrderedAndProject`.
+  */
+class Searcher(val reader: IndexReader, val schema: IndexSchema) {
+  import PostingUdfs._
+
+  private def spark = reader.spark
+
+  private def avgdl(field: String): Double =
+    reader.fieldStats.get(field).map(_.avgdl).getOrElse(0.0)
+  private def totalDocs(field: String): Long =
+    reader.fieldStats.get(field).map(_.nDocs).getOrElse(0L)
+
+  /** All (field, term) pairs needed to score a query tree. */
+  private def collectTerms(q: Query): Seq[(String, String)] = q match {
+    case TermQuery(f, v)       => Seq((f, v))
+    case PhraseQuery(f, ts, _) => ts.map { case (_, t) => (f, t) }
+    case BooleanQuery(cs, _)   => cs.flatMap { case (_, c) => collectTerms(c) }
+    case BoostQuery(c, _)      => collectTerms(c)
+    case DisjunctionMaxQuery(ds, _) => ds.flatMap(collectTerms)
+    case MatchQuery(v)         => collectTerms(parseMatch(v))
+    case _                     => Nil
+  }
+
+  /** Parser config bound to this index's schema; fast fields = stored
+    * docs-table columns usable for ranges/equality.
+    */
+  lazy val parserConfig: SummaQL.Config = SummaQL.Config(
+    defaultFields = schema.defaultFields,
+    schema = Some(schema),
+    fastFields = schema.storedFields.toSet
+  )
+
+  private def parseMatch(value: String): Query = SummaQL.parse(value, parserConfig)
+
+  private val keys = Seq("segment_id", "doc_id")
+
+  private def emptyHits: DataFrame = {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("segment_id", IntegerType),
+      StructField("doc_id", IntegerType),
+      StructField("score", DoubleType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+  }
+
+  /** Scored postings of one term. */
+  private def termHits(field: String, term: String, dfs: Map[(String, String), Long], boost: Double = 1.0): DataFrame = {
+    val df = dfs.getOrElse((field, term), 0L)
+    if (df == 0L) return emptyHits
+    val idf = BM25.idf(df, totalDocs(field))
+    reader.postings
+      .filter(col("field") === field && col("term") === term)
+      .select(col("segment_id"), explode(unpack(col("doc_ids"), col("tfs"), col("norms"), col("doc_count"))).as("p"))
+      .select(
+        col("segment_id"),
+        col("p.doc_id").as("doc_id"),
+        (BM25.scoreCol(col("p.tf"), col("p.norm_id"), idf, avgdl(field)) * lit(boost)).as("score")
+      )
+  }
+
+  /** Positional postings of one term: (segment_id, doc_id, norm_id, positions). */
+  private def termPositions(field: String, term: String): DataFrame =
+    reader.postings
+      .filter(col("field") === field && col("term") === term && col("positions").isNotNull)
+      .select(
+        col("segment_id"),
+        explode(unpackPos(col("doc_ids"), col("tfs"), col("norms"), col("positions"), col("doc_count"))).as("p")
+      )
+      .select(
+        col("segment_id"),
+        col("p.doc_id").as("doc_id"),
+        col("p.norm_id").as("norm_id"),
+        col("p.positions").as("positions")
+      )
+
+  private def phraseHits(pq: PhraseQuery, dfs: Map[(String, String), Long]): DataFrame = {
+    val PhraseQuery(field, terms, slop) = pq
+    if (terms.isEmpty) return emptyHits
+    if (terms.size == 1) return termHits(field, terms.head._2, dfs)
+    if (terms.exists { case (_, t) => dfs.getOrElse((field, t), 0L) == 0L }) return emptyHits
+    // sum of per-term idfs (Lucene/tantivy multi-term phrase weight)
+    val n = totalDocs(field)
+    val sumIdf = terms.map { case (_, t) => BM25.idf(dfs((field, t)), n) }.sum
+    val offsets = terms.map(_._1)
+    var joined = termPositions(field, terms.head._2)
+      .withColumnRenamed("positions", "pos_0")
+    terms.zipWithIndex.tail.foreach { case ((_, t), i) =>
+      val right = termPositions(field, t)
+        .select(col("segment_id"), col("doc_id"), col("positions").as(s"pos_$i"))
+      joined = joined.join(right, keys, "inner")
+    }
+    val posArray = array(terms.indices.map(i => col(s"pos_$i")): _*)
+    joined
+      .withColumn(
+        "phrase_tf",
+        phraseTfUdf(posArray, typedLit(offsets), lit(slop))
+      )
+      .filter(col("phrase_tf") > 0)
+      .select(
+        col("segment_id"),
+        col("doc_id"),
+        BM25.scoreCol(col("phrase_tf"), col("norm_id"), sumIdf, avgdl(field)).as("score")
+      )
+  }
+
+  private def boolHits(bq: BooleanQuery, dfs: Map[(String, String), Long]): DataFrame = {
+    val mustDfs = bq.must.map(plan(_, dfs))
+    val shouldDfs = bq.should.map(plan(_, dfs))
+    val notDfs = bq.mustNot.map(plan(_, dfs))
+
+    val shouldAgg: Option[DataFrame] =
+      if (shouldDfs.isEmpty) None
+      else
+        Some(
+          shouldDfs
+            .reduce(_ unionByName _)
+            .groupBy(keys.map(col): _*)
+            .agg(sum("score").as("score"),
+                 org.apache.spark.sql.functions.count(lit(1)).as("should_matched"))
+        )
+
+    var base: DataFrame =
+      if (mustDfs.nonEmpty) {
+        val joined = mustDfs.zipWithIndex
+          .map { case (d, i) => d.withColumnRenamed("score", s"__s$i") }
+          .reduce((a, b) => a.join(b, keys, "inner"))
+        val total = mustDfs.indices.map(i => col(s"__s$i")).reduce(_ + _)
+        val withMust = joined.select(col("segment_id"), col("doc_id"), total.as("score"))
+        shouldAgg match {
+          case Some(sa) =>
+            val minMatch = bq.minimumShouldMatch.getOrElse(0)
+            val saR = sa.select(
+              col("segment_id"), col("doc_id"),
+              col("score").as("__ss"), col("should_matched"))
+            val j = withMust.join(saR, keys, "left")
+            val filtered =
+              if (minMatch > 0) j.filter(coalesce(col("should_matched"), lit(0L)) >= minMatch) else j
+            filtered.select(
+              col("segment_id"), col("doc_id"),
+              (col("score") + coalesce(col("__ss"), lit(0.0))).as("score"))
+          case None => withMust
+        }
+      } else {
+        shouldAgg match {
+          case Some(sa) =>
+            val minMatch = math.max(bq.minimumShouldMatch.getOrElse(1), 1)
+            sa.filter(col("should_matched") >= minMatch)
+              .select(col("segment_id"), col("doc_id"), col("score"))
+          case None => emptyHits
+        }
+      }
+
+    if (notDfs.nonEmpty) {
+      val excluded = notDfs.reduce(_ unionByName _).select(keys.map(col): _*).distinct()
+      base = base.join(excluded, keys, "left_anti")
+    }
+    base
+  }
+
+  /** Typed predicate for a fast-field (docs-table) column. */
+  private def rangePredicate(rq: RangeQuery): Column = {
+    val c = col(rq.field)
+    val dt = reader.docs.schema(rq.field).dataType
+    def castLit(v: String): Column = lit(v).cast(dt)
+    val lo = rq.lower.map(v => if (rq.includeLower) c >= castLit(v) else c > castLit(v))
+    val hi = rq.upper.map(v => if (rq.includeUpper) c <= castLit(v) else c < castLit(v))
+    (lo.toSeq ++ hi.toSeq).reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  private def constHits(pred: Column): DataFrame =
+    reader.docs.filter(pred).select(col("segment_id"), col("doc_id"), lit(1.0).as("score"))
+
+  def plan(q: Query, dfs: Map[(String, String), Long]): DataFrame = q match {
+    case EmptyQuery          => emptyHits
+    case AllQuery            => reader.docs.select(col("segment_id"), col("doc_id"), lit(1.0).as("score"))
+    case tq: TermQuery       => termHits(tq.field, tq.value, dfs)
+    case pq: PhraseQuery     => phraseHits(pq, dfs)
+    case bq: BooleanQuery    => boolHits(bq, dfs)
+    case BoostQuery(c, b)    => plan(c, dfs).withColumn("score", col("score") * lit(b))
+    case DisjunctionMaxQuery(ds, tb) =>
+      if (ds.isEmpty) emptyHits
+      else
+        ds.map(plan(_, dfs))
+          .reduce(_ unionByName _)
+          .groupBy(keys.map(col): _*)
+          .agg(max("score").as("__mx"), sum("score").as("__sm"))
+          .select(
+            col("segment_id"), col("doc_id"),
+            (col("__mx") + lit(tb) * (col("__sm") - col("__mx"))).as("score"))
+    case rq: RangeQuery      => constHits(rangePredicate(rq))
+    case TermRangeQuery(f, lo, hi, il, iu) =>
+      val t = col("term")
+      val conds = Seq(Some(col("field") === f),
+        lo.map(v => if (il) t >= v else t > v),
+        hi.map(v => if (iu) t <= v else t < v)).flatten
+      reader.postings
+        .filter(conds.reduce(_ && _))
+        .select(col("segment_id"), explode(unpack(col("doc_ids"), col("tfs"), col("norms"), col("doc_count"))).as("p"))
+        .select(col("segment_id"), col("p.doc_id").as("doc_id"))
+        .distinct()
+        .withColumn("score", lit(1.0))
+    case ExistsQuery(f) =>
+      val docsSchema = reader.docs.schema.fieldNames.toSet
+      if (docsSchema.contains(s"len_$f")) constHits(col(s"len_$f") > 0)
+      else if (docsSchema.contains(f)) constHits(col(f).isNotNull)
+      else emptyHits
+    case RegexQuery(f, pat) =>
+      reader.postings
+        .filter(col("field") === f && col("term").rlike(pat))
+        .select(col("segment_id"), explode(unpack(col("doc_ids"), col("tfs"), col("norms"), col("doc_count"))).as("p"))
+        .select(col("segment_id"), col("p.doc_id").as("doc_id"))
+        .distinct()
+        .withColumn("score", lit(1.0))
+    case MatchQuery(v)       => plan(parseMatch(v), dfs)
+    case mlt: MoreLikeThisQuery =>
+      throw new UnsupportedOperationException("MoreLikeThisQuery: planned for a later phase")
+  }
+
+  /** Scored doc-set of a query: (segment_id, doc_id, score). */
+  def search(q: Query): DataFrame = {
+    val dfs = reader.termDfs(collectTerms(q).distinct)
+    plan(q, dfs)
+  }
+
+  /** Top-k by BM25 with the reference tie-break (score desc, then doc
+    * address asc — `fruit_extractors.rs:101-122`); Spark plans this as
+    * TakeOrderedAndProject (per-partition top-k + driver merge, the exact
+    * shape of the reference's per-segment collect + merge_fruits).
+    */
+  def topDocs(q: Query, limit: Int, offset: Int = 0): DataFrame = {
+    val top = search(q)
+      .orderBy(col("score").desc, col("segment_id").asc, col("doc_id").asc)
+      .limit(offset + limit)
+    if (offset == 0) top
+    else {
+      // the window only ever sees offset+limit rows (post-TakeOrdered)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("segment_id").asc, col("doc_id").asc)
+      top
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") > offset)
+        .drop("__rn")
+    }
+  }
+
+  /** Top-k joined back to the doc store (broadcast lookup join — reference
+    * analog `index_registry.rs:131-213` fetching stored docs for k hits).
+    */
+  def topDocsWithKeys(q: Query, limit: Int, offset: Int = 0): DataFrame = {
+    val hits = topDocs(q, limit, offset)
+    reader.docs
+      .join(broadcast(hits), keys, "inner")
+      .orderBy(col("score").desc, col("segment_id").asc, col("doc_id").asc)
+  }
+
+  def count(q: Query): Long = search(q).count()
+}
