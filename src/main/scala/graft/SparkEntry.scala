@@ -1,13 +1,151 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.search._
+
+/** Driver contract — every entry here is checked row/schema/hash-identical
+  * against its DuckDB `oracleSql` twin at sf0.01 (see /root/repo/SURVEY.md §7
+  * and OracleSql for the float-determinism rules).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: BM25 top-10 for the SummaQL query `spark window` over the
+    * documents corpus at sf0.001.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val s = DocsIndex.searcher(spark, "/root/testdata/sf0.001")
+    DocsIndex
+      .scored(s, MatchQuery("spark window"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- search engine over the documents corpus (Q1/Q2/Q3/Q5/Q6/Q7, C1/C4) ----
+    "q_term" -> ((sp, dir) => {
+      val s = DocsIndex.searcher(sp, dir)
+      DocsIndex.scored(s, TermQuery("text", "spark")).orderBy("doc_id")
+    }),
+    "q_term_topk" -> ((sp, dir) => {
+      val s = DocsIndex.searcher(sp, dir)
+      DocsIndex
+        .scored(s, TermQuery("text", "vector"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+    "q_bool_must" -> ((sp, dir) => {
+      val s = DocsIndex.searcher(sp, dir)
+      val q = BooleanQuery(Seq(
+        (Occur.Must, TermQuery("text", "spark")),
+        (Occur.Must, TermQuery("text", "window"))))
+      DocsIndex.scored(s, q).orderBy("doc_id")
+    }),
+    "q_bool_should" -> ((sp, dir) => {
+      val s = DocsIndex.searcher(sp, dir)
+      val q = BooleanQuery(Seq(
+        (Occur.Should, TermQuery("text", "spark")),
+        (Occur.Should, TermQuery("text", "window"))))
+      DocsIndex.scored(s, q).orderBy("doc_id")
+    }),
+    "q_bool_must_not" -> ((sp, dir) => {
+      val s = DocsIndex.searcher(sp, dir)
+      val q = BooleanQuery(Seq(
+        (Occur.Should, TermQuery("text", "spark")),
+        (Occur.MustNot, TermQuery("text", "window"))))
+      DocsIndex.scored(s, q).orderBy("doc_id")
+    }),
+    "q_dismax" -> ((sp, dir) => {
+      val s = DocsIndex.searcher(sp, dir)
+      val q = DisjunctionMaxQuery(
+        Seq(TermQuery("text", "spark"), TermQuery("text", "window")), 0.3)
+      DocsIndex.scored(s, q).orderBy("doc_id")
+    }),
+    "q_phrase" -> ((sp, dir) => {
+      val s = DocsIndex.searcher(sp, dir)
+      val q = PhraseQuery("text", Seq((0, "spark"), (1, "window")), 0)
+      DocsIndex.scored(s, q).orderBy("doc_id")
+    }),
+    "q_count" -> ((sp, dir) => {
+      val s = DocsIndex.searcher(sp, dir)
+      s.search(TermQuery("text", "merge")).agg(count(lit(1)).as("cnt"))
+    }),
+    "q_range_fast" -> ((sp, dir) => {
+      val s = DocsIndex.searcher(sp, dir)
+      DocsIndex.matchedIds(s, RangeQuery("n_chars", Some("200"), Some("400"))).orderBy("doc_id")
+    }),
+    "q_regex" -> ((sp, dir) => {
+      val s = DocsIndex.searcher(sp, dir)
+      DocsIndex.matchedIds(s, RegexQuery("text", "s.an")).orderBy("doc_id")
+    }),
+    "q_match_ql" -> ((sp, dir) => {
+      val s = DocsIndex.searcher(sp, dir)
+      DocsIndex.scored(s, MatchQuery("spark -window batch")).orderBy("doc_id")
+    }),
+
+    // ---- collector analogs over the relational test tables (C2/C5/C6) ----
+    "q_facet_counts" -> ((sp, dir) => {
+      sp.read.parquet(s"$dir/events.parquet")
+        .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    }),
+    "q_agg_stats" -> ((sp, dir) => {
+      sp.read.parquet(s"$dir/lineitem.parquet")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum("l_quantity").as("sum_qty"),
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"),
+          (sum("l_quantity") / count(lit(1))).as("avg_qty"))
+    }),
+    "q_histogram" -> ((sp, dir) => {
+      sp.read.parquet(s"$dir/orders.parquet")
+        .groupBy((floor(col("o_totalprice") / 10000) * 10000).as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket")
+    }),
+    "q_date_histogram" -> ((sp, dir) => {
+      sp.read.parquet(s"$dir/events.parquet")
+        .groupBy(to_date(date_trunc("month", col("ts"))).as("month"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("month")
+    }),
+    "q_topk_fastfield" -> ((sp, dir) => {
+      sp.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_term" -> OracleSql.termQuery("spark"),
+    "q_term_topk" -> OracleSql.termTopK("vector", 10),
+    "q_bool_must" -> OracleSql.boolMust("spark", "window"),
+    "q_bool_should" -> OracleSql.boolShould("spark", "window"),
+    "q_bool_must_not" -> OracleSql.boolMustNot("spark", "window"),
+    "q_dismax" -> OracleSql.dismax("spark", "window", 0.3),
+    "q_phrase" -> OracleSql.phrase("spark", "window"),
+    "q_count" -> OracleSql.termCount("merge"),
+    "q_range_fast" ->
+      "SELECT doc_id FROM documents WHERE n_chars >= 200 AND n_chars <= 400 ORDER BY doc_id",
+    "q_regex" -> OracleSql.regex("s.an"),
+    "q_match_ql" -> OracleSql.matchShouldShouldNot("spark", "batch", "window"),
+    "q_facet_counts" ->
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
+    "q_agg_stats" ->
+      """SELECT count(*) AS cnt, sum(l_quantity) AS sum_qty, min(l_quantity) AS min_qty,
+        |       max(l_quantity) AS max_qty, sum(l_quantity) / count(*) AS avg_qty
+        |FROM lineitem""".stripMargin,
+    "q_histogram" ->
+      """SELECT (floor(o_totalprice / 10000) * 10000)::BIGINT AS bucket, count(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_date_histogram" ->
+      """SELECT date_trunc('month', ts)::DATE AS month, count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY month""".stripMargin,
+    "q_topk_fastfield" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin
+  )
 }
