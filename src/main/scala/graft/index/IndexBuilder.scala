@@ -53,12 +53,14 @@ object IndexBuilder {
 
   /** Per-term group inside one document field. */
   final case class TermGroup(term: String, tf: Int, positions: Array[Int])
-  /** Analyzed field: token count + term groups (sorted by term). */
-  final case class TokField(len: Int, terms: Array[TermGroup])
+  /** Analyzed field: token count, quantized fieldnorm id, term groups
+    * (sorted by term).
+    */
+  final case class TokField(len: Int, norm: Int, terms: Array[TermGroup])
 
   /** Tokenize one field value into term groups (deterministic order). */
   def analyzeField(analyzerName: String, value: String): TokField = {
-    if (value == null) return TokField(0, Array.empty)
+    if (value == null) return TokField(0, 0, Array.empty)
     val toks = Analyzers(analyzerName).tokenize(value)
     val m = new java.util.TreeMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
     toks.foreach { t =>
@@ -70,25 +72,26 @@ object IndexBuilder {
       groups(i) = TermGroup(term, ps.length, ps.toArray)
       i += 1
     }
-    TokField(toks.length, groups)
+    TokField(toks.length, FieldNorm.encode(toks.length.toLong), groups)
   }
 
-  /** Assign dense per-segment docIds = rank of `keyCol` within `segCol`.
-    * Returns the input rows plus an int `doc_id` column. Deterministic
-    * regardless of partition count. Caller must eventually unpersist via the
-    * returned handle.
+  /** Assign dense per-segment docIds = rank of `__key` within `segment_id`:
+    * range-partition + in-partition sort, then a two-pass offset computation
+    * (pass 1 counts rows per (partition, segment); pass 2 streams ids).
+    * `df` is persisted as the single materialized intermediate of the build —
+    * callers put tokenization *in* `df`'s projection so analysis runs exactly
+    * once, during pass-1 materialization.
     */
-  def assignDocIds(df: DataFrame, parts: Int): (DataFrame, DataFrame) = {
+  def assignDocIds(df: DataFrame, parts: Int, level: StorageLevel): (DataFrame, DataFrame, Long) = {
     val spark = df.sparkSession
-    val sorted = df
-      .repartitionByRange(parts, col("segment_id"), col("__key"))
-      .sortWithinPartitions(col("segment_id"), col("__key"))
-      .persist(StorageLevel.DISK_ONLY)
+    // the partition id is stamped as a column at materialization time — a
+    // TaskContext-based id would be wrong when this plan is later embedded
+    // under a union (task partition ids shift per branch)
+    val sorted = df.withColumn("__pid", spark_partition_id()).persist(level)
 
     // pass 1: rows per (physical partition, segment) — small driver table
     val counts = sorted
-      .select(spark_partition_id().as("pid"), col("segment_id"))
-      .groupBy("pid", "segment_id")
+      .groupBy("__pid", "segment_id")
       .count()
       .collect()
       .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
@@ -105,23 +108,27 @@ object IndexBuilder {
     }
     val bc = spark.sparkContext.broadcast(offsets)
 
-    val outSchema = sorted.schema.add(StructField("doc_id", IntegerType, nullable = false))
-    val enc = Encoders.row(outSchema)
+    val pidIdx = sorted.schema.fieldIndex("__pid")
     val segIdx = sorted.schema.fieldIndex("segment_id")
+    val outFields = sorted.schema.fields.filterNot(_.name == "__pid") :+
+      StructField("doc_id", IntegerType, nullable = false)
+    val enc = Encoders.row(StructType(outFields))
     val withIds = sorted.mapPartitions { rows =>
-      val pid = TaskContext.getPartitionId()
       val off = bc.value
       var curSeg = Int.MinValue
+      var curPid = Int.MinValue
       var next = 0L
       rows.map { r =>
         val seg = r.getInt(segIdx)
-        if (seg != curSeg) { curSeg = seg; next = off((pid, seg)) }
+        val pid = r.getInt(pidIdx)
+        if (seg != curSeg || pid != curPid) { curSeg = seg; curPid = pid; next = off((pid, seg)) }
         val id = next
         next += 1
-        Row.fromSeq(r.toSeq :+ id.toInt)
+        val vals = r.toSeq.zipWithIndex.collect { case (v, i) if i != pidIdx => v }
+        Row.fromSeq(vals :+ id.toInt)
       }
     }(enc)
-    (withIds, sorted)
+    (withIds, sorted, counts.map(_._2).sum)
   }
 
   def build(
@@ -149,32 +156,42 @@ object IndexBuilder {
       .select((col(schema.keyField).cast(StringType).as("__key") +: needed.map(col)): _*)
       .withColumn("segment_id", pmod(xxhash64(col("__key")), lit(conf.numSegments)).cast(IntegerType))
 
-    val (withIds, sortedHandle) = assignDocIds(keyed, parts)
-
-    // tokenize each indexed field exactly once; token groups ride as columns
+    // tokenize each indexed field exactly once, in the projection applied
+    // after the segment/key sort — the persisted intermediate carries token
+    // groups (and stored fields) but NOT the raw indexed text
     val tokUdfs = schema.fields.map { f =>
       val an = f.analyzer
       f.name -> udf((s: String) => analyzeField(an, s))
     }.toMap
-    var analyzed = withIds
-    schema.fields.foreach { f =>
-      analyzed = analyzed.withColumn(s"__tok_${f.name}", tokUdfs(f.name)(col(f.name).cast(StringType)))
-    }
-    analyzed = analyzed.persist(conf.persist)
+    val keepCols =
+      Seq(col("segment_id"), col("__key")) ++
+        schema.storedFields.map(col) ++
+        schema.fields.map(f => tokUdfs(f.name)(col(f.name).cast(StringType)).as(s"__tok_${f.name}"))
+    val sortedTok = keyed
+      .repartitionByRange(parts, col("segment_id"), col("__key"))
+      .sortWithinPartitions(col("segment_id"), col("__key"))
+      .select(keepCols: _*)
+
+    val (analyzed, sortedHandle, totalDocs) = assignDocIds(sortedTok, parts, conf.persist)
+    // output-file partitioning scales with data, not with task parallelism —
+    // groupBy/pack stages stay `parts`-wide for CPU, but final writes coalesce
+    // so small builds don't scatter thousands of tiny parquet files
+    def outParts(rowsPerPart: Long): Int =
+      math.max(1, math.min(parts.toLong, totalDocs / rowsPerPart + 1)).toInt
+    val docsOutParts = outParts(65536)
+    val postingsOutParts = outParts(4096)
 
     // ---- docs table (doc store + fast fields + fieldnorms) ----
-    val normUdf = udf((len: Int) => FieldNorm.encode(len.toLong))
-    var docsDf = analyzed.select(
+    val docsDf = analyzed.select(
       (Seq(col("segment_id"), col("doc_id"), col("__key").as("key")) ++
         schema.storedFields.map(col) ++
         schema.fields.flatMap(f =>
-          Seq(col(s"__tok_${f.name}.len").as(s"len_${f.name}")))): _*
+          Seq(
+            col(s"__tok_${f.name}.len").as(s"len_${f.name}"),
+            col(s"__tok_${f.name}.norm").as(s"norm_${f.name}")))): _*
     )
-    schema.fields.foreach { f =>
-      docsDf = docsDf.withColumn(s"norm_${f.name}", normUdf(col(s"len_${f.name}")))
-    }
     docsDf
-      .repartitionByRange(parts, col("segment_id"), col("doc_id"))
+      .repartitionByRange(docsOutParts, col("segment_id"), col("doc_id"))
       .sortWithinPartitions("segment_id", "doc_id")
       .write
       .mode("overwrite")
@@ -188,8 +205,8 @@ object IndexBuilder {
           col("segment_id"),
           col("doc_id"),
           lit(f.name).as("field"),
-          explode(col(s"__tok_${f.name}.terms")).as("tok"),
-          col(s"__tok_${f.name}.len").as("len")
+          col(s"__tok_${f.name}.norm").as("norm_id"),
+          explode(col(s"__tok_${f.name}.terms")).as("tok")
         )
         .select(
           col("segment_id"),
@@ -197,7 +214,7 @@ object IndexBuilder {
           col("field"),
           col("tok.term").as("term"),
           col("tok.tf").as("tf"),
-          normUdf(col("len")).as("norm_id"),
+          col("norm_id"),
           col("tok.positions").as("positions")
         )
     }
@@ -223,79 +240,105 @@ object IndexBuilder {
     val recordPositions = schema.fields.map(f => f.name -> (f.record == "position")).toMap
     val bcRecPos = spark.sparkContext.broadcast(recordPositions)
 
-    val grouped = tokens
+    // ONE range shuffle keyed by (segment, field, term, block): block keying
+    // spreads head terms across ~(docs/blockSpan) keys (skew salt), range
+    // partitioning gives term-sorted output files (Parquet stats pruning),
+    // and the streaming sort-merge pack below replaces an object hash
+    // aggregate (no per-group buffers, fully spillable Tungsten sort)
+    val parted = tokens
       .withColumn("block_id", shiftright(col("doc_id"), conf.blockBits).cast(IntegerType))
-      .groupBy("field", "term", "segment_id", "block_id")
-      .agg(collect_list(struct(col("doc_id"), col("tf"), col("norm_id"), col("positions"))).as("entries"))
+      .repartitionByRange(parts, col("segment_id"), col("field"), col("term"), col("block_id"))
+      .sortWithinPartitions("segment_id", "field", "term", "block_id", "doc_id")
 
-    val packed = grouped.mapPartitions { rows =>
+    val packed = parted.mapPartitions { rows =>
       val recPos = bcRecPos.value
-      rows.map { r =>
-        val field = r.getString(0)
-        val term = r.getString(1)
-        val seg = r.getInt(2)
-        val blockId = r.getInt(3)
-        val entries = r
-          .getSeq[Row](4)
-          .map(e => (e.getInt(0), e.getInt(1), e.getInt(2), e.getSeq[Int](3).toArray))
-          .sortBy(_._1)
-          .toArray
-        val docIds = entries.map(_._1)
-        val tfs = entries.map(_._2)
-        val norms = entries.map(_._3)
-        val docIdsB = PostingCodec.packDocIds(docIds)
-        val tfsB = PostingCodec.packVarInts(tfs)
-        val normsB = norms.map(_.toByte)
-        val posB =
-          if (recPos(field)) PostingCodec.packPositions(entries.map(_._4)) else null
-        val bytes = docIdsB.length.toLong + tfsB.length + normsB.length +
-          (if (posB == null) 0 else posB.length)
-        Row(
-          field, term, seg, blockId,
-          docIds.length, docIds.head, docIds.last,
-          tfs.max, norms.min,
-          tfs.map(_.toLong).sum,
-          docIdsB, tfsB, normsB, posB, bytes
-        )
+      new Iterator[Row] {
+        private val it = rows.buffered
+        def hasNext: Boolean = it.hasNext
+        def next(): Row = {
+          val head = it.head
+          val seg = head.getInt(0)
+          val field = head.getString(2)
+          val term = head.getString(3)
+          val blockId = head.getInt(7)
+          val docIds = new scala.collection.mutable.ArrayBuffer[Int](64)
+          val tfs = new scala.collection.mutable.ArrayBuffer[Int](64)
+          val norms = new scala.collection.mutable.ArrayBuffer[Int](64)
+          val poss = new scala.collection.mutable.ArrayBuffer[Array[Int]](64)
+          val withPos = recPos(field)
+          var more = true
+          while (more && it.hasNext) {
+            val r = it.head
+            if (r.getInt(0) == seg && r.getString(2) == field && r.getString(3) == term &&
+                r.getInt(7) == blockId) {
+              it.next()
+              docIds += r.getInt(1)
+              tfs += r.getInt(4)
+              norms += r.getInt(5)
+              if (withPos) poss += r.getSeq[Int](6).toArray
+            } else more = false
+          }
+          val docIdsA = docIds.toArray
+          val tfsA = tfs.toArray
+          val docIdsB = PostingCodec.packDocIds(docIdsA)
+          val tfsB = PostingCodec.packVarInts(tfsA)
+          val normsB = norms.map(_.toByte).toArray
+          val posB = if (withPos) PostingCodec.packPositions(poss.toArray) else null
+          val bytes = docIdsB.length.toLong + tfsB.length + normsB.length +
+            (if (posB == null) 0 else posB.length)
+          Row(
+            field, term, seg, blockId,
+            docIdsA.length, docIdsA.head, docIdsA.last,
+            tfsA.max, norms.min,
+            tfsA.map(_.toLong).sum,
+            docIdsB, tfsB, normsB, posB, bytes
+          )
+        }
       }
     }(Encoders.row(packSchema))
 
-    val postingsOut = packed
-      .repartitionByRange(parts, col("segment_id"), col("field"), col("term"), col("block_id"))
-      .sortWithinPartitions("segment_id", "field", "term", "block_id")
-      .persist(StorageLevel.DISK_ONLY)
-
-    postingsOut.write
+    packed.write
       .mode("overwrite")
       .partitionBy("segment_id")
       .parquet(s"$indexDir/postings")
 
+    // downstream stats read the (small) packed blocks back rather than
+    // persisting the token-level intermediate
+    val postingsRead = spark.read.parquet(s"$indexDir/postings")
+
     // ---- global term stats (df, total_tf) ----
-    postingsOut
+    postingsRead
       .groupBy("field", "term")
       .agg(sum("doc_count").cast(LongType).as("df"), sum("sum_tf").as("total_tf"))
-      .repartitionByRange(math.max(parts / 4, 1), col("field"), col("term"))
+      .repartitionByRange(postingsOutParts, col("field"), col("term"))
       .sortWithinPartitions("field", "term")
       .write
       .mode("overwrite")
       .parquet(s"$indexDir/termstats")
 
-    // ---- field stats (N, total tokens → avgdl) ----
-    val fieldStats = schema.fields.map { f =>
-      analyzed
-        .agg(count(lit(1)).as("n_docs"), sum(col(s"__tok_${f.name}.len")).as("total_tokens"))
-        .select(lit(f.name).as("field"), col("n_docs"), col("total_tokens"))
-    }.reduce(_ unionByName _)
-    fieldStats.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/fieldstats")
+    // ---- field stats (N, total tokens → avgdl): from the written docs table ----
+    val docsRead = spark.read.parquet(s"$indexDir/docs")
+    val statAggs = schema.fields.map(f => sum(col(s"len_${f.name}")).as(s"tt_${f.name}"))
+    val statRow = docsRead.agg(count(lit(1)).as("n_docs"), statAggs: _*).collect()(0)
+    val fieldStatRows = schema.fields.map { f =>
+      Row(f.name, statRow.getAs[Long]("n_docs"), statRow.getAs[Long](s"tt_${f.name}"))
+    }
+    val fsSchema = StructType(Seq(
+      StructField("field", StringType, false),
+      StructField("n_docs", LongType, false),
+      StructField("total_tokens", LongType, true)))
+    spark
+      .createDataFrame(spark.sparkContext.parallelize(fieldStatRows, 1), fsSchema)
+      .write.mode("overwrite").parquet(s"$indexDir/fieldstats")
 
     // ---- per-segment metrics (north-rule lineage table) ----
-    val segPostings = postingsOut
+    val segPostings = postingsRead
       .groupBy("segment_id")
       .agg(
         sum("posting_bytes").as("posting_bytes"),
         countDistinct("field", "term").as("num_terms")
       )
-    val segDocs = analyzed.groupBy("segment_id").agg(count(lit(1)).as("num_docs"))
+    val segDocs = docsRead.groupBy("segment_id").agg(count(lit(1)).as("num_docs"))
     segDocs
       .join(segPostings, Seq("segment_id"), "left")
       .select(
@@ -313,8 +356,6 @@ object IndexBuilder {
       .mode("append")
       .parquet(s"$indexDir/metrics")
 
-    postingsOut.unpersist()
-    analyzed.unpersist()
     sortedHandle.unpersist()
 
     // atomic visibility marker

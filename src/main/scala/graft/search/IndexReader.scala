@@ -24,10 +24,12 @@ class IndexReader(val spark: SparkSession, val indexDir: String) extends Seriali
       .map(r => r.getString(0) -> FieldStat(r.getLong(1), r.getLong(2)))
       .toMap
 
-  def postings: DataFrame = spark.read.parquet(s"$indexDir/postings")
-  def docs: DataFrame = spark.read.parquet(s"$indexDir/docs")
-  def termStatsDf: DataFrame = spark.read.parquet(s"$indexDir/termstats")
-  def metrics: DataFrame = spark.read.parquet(s"$indexDir/metrics")
+  // lazy vals: the file index (listing + schema) is built once per reader,
+  // not re-listed on every query
+  lazy val postings: DataFrame = spark.read.parquet(s"$indexDir/postings")
+  lazy val docs: DataFrame = spark.read.parquet(s"$indexDir/docs")
+  lazy val termStatsDf: DataFrame = spark.read.parquet(s"$indexDir/termstats")
+  lazy val metrics: DataFrame = spark.read.parquet(s"$indexDir/metrics")
 
   /** Batch df lookup for all terms of a query — one pushed-down scan of the
     * term-sorted stats table, collected driver-side (idf becomes a plan
