@@ -18,7 +18,7 @@ import graft.index.FieldNorm
   */
 object OracleSql {
 
-  private val stopList: String =
+  val stopList: String =
     StopWords.All.toSeq.sorted.map(w => "'" + w.replace("'", "''") + "'").mkString(", ")
 
   private val fnValues: String =
@@ -130,6 +130,68 @@ object OracleSql {
   def regex(pattern: String): String =
     prologue +
       s"\nSELECT DISTINCT doc_id FROM ftok WHERE regexp_full_match(w, '$pattern') ORDER BY doc_id"
+
+  // ------------------------------------------------- training-data ops
+
+  /** Exact n-gram (trigram) Jaccard near-dup pairs — mirrors
+    * Dedup.ngramJaccardPairs: distinct word trigrams, shingle self-join,
+    * jaccard = inter / (|A|+|B|-inter), threshold applied pre-rounding.
+    */
+  def ngramJaccardPairs(minJaccard: Double): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS s
+       |  FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 2, 1))) i) g
+       |),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT id_a, id_b,
+       |       round(inter::DOUBLE / (sa.sz + sb.sz - inter), 4) AS jaccard
+       |FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= $minJaccard
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Exact embedding-cosine pairs — mirrors Dedup.cosinePairs. */
+  def cosinePairs(minCos: Double): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+       |FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $minCos
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Brute-force cosine top-k against the vector of vec_id=0. */
+  def cosineTopK(k: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+       |SELECT e.vec_id,
+       |       round(list_dot_product(e.v, q.qv) /
+       |             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+       |FROM e, q
+       |ORDER BY cosine DESC, vec_id LIMIT $k""".stripMargin
+
+  /** Text stats — mirrors TextStats.{tokenCount, stopwordRatio, qualityScore}. */
+  def textStats: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |         string_split(text, ' ') AS ws,
+       |         len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS nstop
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |       len(ws) AS tc,
+       |       round(nstop::DOUBLE / len(ws), 4) AS swr,
+       |       round(
+       |         least(length(text) / 500.0, 1.0) * 0.4 +
+       |         least((nstop::DOUBLE / len(ws)) * 4.0, 1.0) * 0.3 +
+       |         ((length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE /
+       |          length(text)) * 0.3, 4) AS quality
+       |FROM t ORDER BY doc_id""".stripMargin
 
   /** SummaQL `t1 -neg t2`: should(t1)+should(t2) excluding neg. */
   def matchShouldShouldNot(t1: String, t2: String, neg: String): String =

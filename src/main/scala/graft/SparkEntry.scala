@@ -116,6 +116,74 @@ object SparkEntry {
         .select("o_orderkey", "o_totalprice")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(20)
+    }),
+
+    // ---- training-data pipeline ops (dedup / similarity / text analysis) ----
+    "q_dedup_exact" -> ((sp, dir) => {
+      ops.Dedup.exactGroups(
+        sp.read.parquet(s"$dir/documents.parquet"), "doc_id", Seq("lang", "source"))
+        .orderBy("rep_id")
+    }),
+    "q_dedup_ngram" -> ((sp, dir) => {
+      ops.Dedup.ngramJaccardPairs(
+        sp.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 3, 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+    "q_dedup_minhash" -> ((sp, dir) => {
+      // no SQL oracle (hash-function specific) → driver rows-only check;
+      // equality with exact jaccard pairs is asserted in OpsSpec
+      ops.Dedup.minhashLshPairs(
+        sp.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 3, 16, 8, 0.8)
+        .orderBy("id_a", "id_b")
+    }),
+    "q_dedup_simhash" -> ((sp, dir) => {
+      ops.Dedup.simhashPairs(
+        sp.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 7)
+        .orderBy("id_a", "id_b")
+    }),
+    "q_dedup_embed" -> ((sp, dir) => {
+      ops.Dedup.cosinePairs(
+        sp.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding", 0.45)
+        .orderBy("id_a", "id_b")
+    }),
+    "q_ann_brute" -> ((sp, dir) => {
+      val emb = sp.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") === 0).select("embedding").head()
+        .getSeq[Float](0).map(_.toDouble).toArray
+      ops.Similarity.cosineTopK(emb, "vec_id", "embedding", q, 20)
+    }),
+    "q_ann_lsh" -> ((sp, dir) => {
+      // scale-path ANN: rows-only check (bucketing is hash-specific);
+      // recall contract tested in OpsSpec on planted clusters
+      val emb = sp.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") === 0).select("embedding").head()
+        .getSeq[Float](0).map(_.toDouble).toArray
+      ops.Similarity.annTopK(emb, "vec_id", "embedding", q, 10)
+    }),
+    "q_text_stats" -> ((sp, dir) => {
+      val d = sp.read.parquet(s"$dir/documents.parquet")
+      d.select(
+        col("doc_id"),
+        ops.TextStats.tokenCount(col("text")).as("tc"),
+        round(ops.TextStats.stopwordRatio(col("text")), 4).as("swr"),
+        ops.TextStats.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+    "q_text_fingerprint" -> ((sp, dir) => {
+      // rows-only: hash-specific; determinism + order sensitivity in OpsSpec
+      val d = sp.read.parquet(s"$dir/documents.parquet")
+      d.select(
+        col("doc_id"),
+        ops.TextStats.fingerprint(col("text")).as("fp"),
+        ops.TextStats.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+    "q_multimodal_features" -> ((sp, dir) => {
+      // rows-only: binary decode/feature plumbing over a deterministic
+      // fake codec (real codecs don't ship in this container)
+      val d = ops.Multimodal.withFakeMedia(
+        sp.read.parquet(s"$dir/documents.parquet").select("doc_id"), "doc_id")
+      ops.Multimodal.extractFeatures(d, "doc_id", "media").orderBy("id")
     })
   )
 
@@ -146,6 +214,14 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY month""".stripMargin,
     "q_topk_fastfield" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS rep_id, count(*) AS group_size
+        |FROM documents GROUP BY lang, source HAVING count(*) > 1
+        |ORDER BY rep_id""".stripMargin,
+    "q_dedup_ngram" -> OracleSql.ngramJaccardPairs(0.8),
+    "q_dedup_embed" -> OracleSql.cosinePairs(0.45),
+    "q_ann_brute" -> OracleSql.cosineTopK(20),
+    "q_text_stats" -> OracleSql.textStats
   )
 }

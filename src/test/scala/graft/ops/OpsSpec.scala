@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docsDf = {
+    // 30 base docs + exact dup + near dup (one word changed)
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    val base = Vector.tabulate(30)(i =>
+      (i.toLong, Vector.fill(20)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val exactDup = (100L, base(3)._2)
+    val nearDup = (101L, base(5)._2.split(' ').updated(10, "OMEGA").mkString(" ").toLowerCase)
+    (base :+ exactDup :+ nearDup).toDF("id", "text")
+  }
+
+  test("exact dedup: groups and survivors") {
+    val groups = Dedup.exactGroups(docsDf, "id", Seq("text")).collect()
+    assert(groups.toSeq == Seq(org.apache.spark.sql.Row(3L, 2L)))
+    val surv = Dedup.exactSurvivors(docsDf, "id", Seq("text"))
+    assert(surv.count() == 31) // 32 rows - 1 dup
+    assert(surv.filter($"id" === 100L).count() == 0)
+  }
+
+  test("ngram jaccard pairs find the near-dup") {
+    val pairs = Dedup.ngramJaccardPairs(docsDf, "id", "text", 3, 0.4).collect()
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys.contains((3L, 100L))) // exact dup has jaccard 1.0
+    assert(keys.contains((5L, 101L))) // near dup
+    val exact = pairs.find(r => (r.getLong(0), r.getLong(1)) == (3L, 100L)).get
+    assert(exact.getDouble(2) == 1.0)
+  }
+
+  test("minhash LSH pairs match exact jaccard pairs on this corpus") {
+    val lsh = Dedup.minhashLshPairs(docsDf, "id", "text", 3, 16, 8, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = Dedup.ngramJaccardPairs(docsDf, "id", "text", 3, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // LSH candidates are verified exactly, so lsh ⊆ exact; with 8 bands of 2
+    // rows recall on jaccard>=0.4 should be total here
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs collide, near-dups within small hamming") {
+    val pairs = Dedup.simhashPairs(docsDf, "id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((3L, 100L)))
+  }
+
+  test("embedding cosine pairs vs self") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f))
+    ).toDF("id", "vec")
+    val pairs = Dedup.cosinePairs(df, "id", "vec", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("brute-force cosine top-k is exact and ordered") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" === 0).select("embedding").head()
+      .getSeq[Float](0).map(_.toDouble).toArray
+    val top = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 5).collect()
+    assert(top.head.getLong(0) == 0L) // self-match first
+    assert(top.head.getDouble(1) == 1.0)
+    val scores = top.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("LSH ANN top-k recalls genuinely-near neighbors (planted clusters)") {
+    // 60 clusters x 6 members: members = center + small noise (cos ~0.97)
+    val rnd = new scala.util.Random(11)
+    val dim = 32
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val rows = for {
+      c <- 0 until 60
+      center = unit(Array.fill(dim)(rnd.nextGaussian()))
+      m <- 0 until 6
+    } yield ((c * 10 + m).toLong, unit(center.map(_ + rnd.nextGaussian() * 0.08)).map(_.toFloat).toSeq)
+    val df = rows.toDF("vec_id", "embedding")
+
+    val q = rows.find(_._1 == 42L * 10).get._2.map(_.toDouble).toArray // cluster 42 center-ish
+    val exact = Similarity.cosineTopK(df, "vec_id", "embedding", q, 6)
+      .collect().map(_.getLong(0)).toSet
+    val ann = Similarity.annTopK(df, "vec_id", "embedding", q, 6)
+      .collect().map(_.getLong(0)).toSet
+    // exact top-6 should be exactly cluster 42's members; ann must recall most
+    assert(exact.forall(id => id / 10 == 42))
+    val recall = (exact intersect ann).size
+    assert(recall >= 5, s"recall too low: $recall/6")
+    // smoke over the real embeddings table: self-match always found
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q2 = emb.filter($"vec_id" === 7).select("embedding").head()
+      .getSeq[Float](0).map(_.toDouble).toArray
+    val ann2 = Similarity.annTopK(emb, "vec_id", "embedding", q2, 10).collect()
+    assert(ann2.head.getLong(0) == 7L)
+  }
+
+  test("text stats columns") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, ""),
+      (3L, "a a a the the of")
+    ).toDF("id", "text")
+    val r = df.select($"id", TextStats.tokenCount($"text").as("tc"),
+      TextStats.stopwordRatio($"text").as("swr")).collect()
+      .map(x => x.getLong(0) -> ((x.getInt(1), x.getDouble(2)))).toMap
+    assert(r(1L)._1 == 5 && math.abs(r(1L)._2 - 0.2) < 1e-9) // "the" is the only stop word
+    assert(r(2L)._1 == 0)
+    assert(r(3L)._1 == 6 && r(3L)._2 == 1.0)
+  }
+
+  test("langid identifies obvious samples") {
+    val df = Seq(
+      ("en", "the quick brown fox is jumping over the lazy dog and the cat"),
+      ("de", "die schnelle braune katze springt über den faulen hund und die ente"),
+      ("ru", "быстрая коричневая лиса прыгает через ленивую собаку и кошку что не"),
+      ("es", "el rápido zorro marrón salta sobre el perro perezoso que los gatos")
+    ).toDF("want", "text")
+    val got = df.select($"want", TextStats.langId($"text").as("got")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1), s"langid failed for ${r.getString(0)}: got ${r.getString(1)}"))
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("id", "text")
+    val fps = df.select($"id", TextStats.fingerprint($"text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(3L))
+    assert(fps(1L) != fps(2L))
+  }
+
+  test("multimodal: fake media round trip, batch feature extraction, resize") {
+    val df = Multimodal.withFakeMedia(spark.range(0, 100).toDF("id"), "id")
+    assert(df.schema("media").dataType == org.apache.spark.sql.types.BinaryType)
+    val feats = Multimodal.extractFeatures(df, "id", "media", batchSize = 16)
+    val rows = feats.collect()
+    assert(rows.length == 100)
+    assert(rows.forall(_.getSeq[Float](4).size == 8))
+    val kinds = rows.map(_.getString(1)).toSet
+    assert(kinds == Set("image", "audio", "video"))
+    // determinism
+    val again = Multimodal.extractFeatures(df, "id", "media", batchSize = 7).collect()
+    assert(rows.sortBy(_.getLong(0)).map(_.toString).toSeq ==
+      again.sortBy(_.getLong(0)).map(_.toString).toSeq)
+    val resized = Multimodal.resize(df, "media", 8, 8)
+    val dec = resized.select("media").head().getAs[Array[Byte]](0)
+    assert(Multimodal.MediaCodec.decode(dec)._2 == 8)
+  }
+}
