@@ -1,8 +1,6 @@
 package graft.index
 
-import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
-import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
@@ -15,7 +13,7 @@ import graft.analysis.Analyzers
   * (`/root/reference/summa-core/src/components/index_writer_holder.rs:391-423`),
   * re-expressed as a Spark pipeline:
   *
-  *  1. segment assignment: `segment_id = pmod(xxhash64(key), numSegments)` —
+  *  1. segment assignment: `segment_id = offset + pmod(xxhash64(key), n)` —
   *     content-addressed, independent of parallelism;
   *  2. docId assignment: rank of key within segment via range-partition +
   *     in-partition sort + two-pass offset computation (no single-task sort,
@@ -27,19 +25,21 @@ import graft.analysis.Analyzers
   *  4. posting blocks: `block_id = doc_id >>> blockBits`, so block assignment
   *     needs no global rank and a head term (stop-word-scale df) shards
   *     across thousands of `(term, block_id)` shuffle keys — block keying IS
-  *     the skew salt; `groupBy(field, term, segment_id, block_id)` groups are
-  *     bounded by the block doc-range (default 1024);
+  *     the skew salt; pack groups are bounded by the block doc-range;
   *  5. outputs written sorted by `(field, term)` within each segment dir so
-  *     Parquet row-group stats give FST-like term-range pruning for free.
+  *     Parquet row-group stats give FST-like term-range pruning for free;
+  *  6. visibility via [[Snapshots]] (Iceberg-style atomic version commit);
+  *     stats are per-segment so merges/deletes never rewrite global state.
   *
   * Layout under `indexDir/`:
   * {{{
-  *   docs/segment_id=N/      one row per doc: key, stored fields, per-field len+norm
-  *   postings/segment_id=N/  packed posting blocks
-  *   termstats/              (field, term, df, total_tf) — global, term-sorted
-  *   fieldstats/             (field, n_docs, total_tokens) — avgdl source
-  *   metrics/                one row per (build_id, segment_id): lineage + sizes
-  *   _COMMIT                 atomic visibility marker (content = build_id)
+  *   docs/segment_id=N/       one row per doc: key, stored fields, per-field len+norm
+  *   postings/segment_id=N/   packed posting blocks, term-sorted
+  *   termstats/segment_id=N/  (field, term, df, total_tf) per segment
+  *   fieldstats/segment_id=N/ (field, n_docs, total_tokens) per segment
+  *   deletes/                 tombstones (segment_id, doc_id), cleared by merges
+  *   metrics/                 append-only lineage: one row per (build_id, segment_id)
+  *   _snapshots/vNNNNNN.json  live-segment snapshot versions
   * }}}
   */
 object IndexBuilder {
@@ -131,126 +131,49 @@ object IndexBuilder {
     (withIds, sorted, counts.map(_._2).sum)
   }
 
-  def build(
-      spark: SparkSession,
-      pages: DataFrame,
-      schema: IndexSchema,
-      indexDir: String,
-      buildId: String,
-      conf: BuildConf = BuildConf()
-  ): Unit = {
-    import spark.implicits._
-    val parts =
-      if (conf.buildPartitions > 0) conf.buildPartitions
-      else spark.sessionState.conf.numShufflePartitions
+  val packSchema: StructType = StructType(Seq(
+    StructField("field", StringType, false),
+    StructField("term", StringType, false),
+    StructField("segment_id", IntegerType, false),
+    StructField("block_id", IntegerType, false),
+    StructField("doc_count", IntegerType, false),
+    StructField("first_doc", IntegerType, false),
+    StructField("last_doc", IntegerType, false),
+    StructField("block_max_tf", IntegerType, false),
+    StructField("block_min_norm", IntegerType, false),
+    StructField("sum_tf", LongType, false),
+    StructField("doc_ids", BinaryType, false),
+    StructField("tfs", BinaryType, false),
+    StructField("norms", BinaryType, false),
+    StructField("positions", BinaryType, true),
+    StructField("posting_bytes", LongType, false)
+  ))
 
-    // project early: key + indexed + stored columns only (column pruning
-    // reaches the source scan); the original key column is dropped so the
-    // generated doc_id/segment_id/key names can't collide
-    val needed = (schema.fields.map(_.name) ++ schema.storedFields).distinct
-      .filterNot(_ == schema.keyField)
-    require(
-      !needed.exists(Set("doc_id", "segment_id", "key", "__key").contains),
-      "reserved column name in schema fields: doc_id/segment_id/key")
-    val keyed = pages
-      .select((col(schema.keyField).cast(StringType).as("__key") +: needed.map(col)): _*)
-      .withColumn("segment_id", pmod(xxhash64(col("__key")), lit(conf.numSegments)).cast(IntegerType))
-
-    // tokenize each indexed field exactly once, in the projection applied
-    // after the segment/key sort — the persisted intermediate carries token
-    // groups (and stored fields) but NOT the raw indexed text
-    val tokUdfs = schema.fields.map { f =>
-      val an = f.analyzer
-      f.name -> udf((s: String) => analyzeField(an, s))
-    }.toMap
-    val keepCols =
-      Seq(col("segment_id"), col("__key")) ++
-        schema.storedFields.map(col) ++
-        schema.fields.map(f => tokUdfs(f.name)(col(f.name).cast(StringType)).as(s"__tok_${f.name}"))
-    val sortedTok = keyed
-      .repartitionByRange(parts, col("segment_id"), col("__key"))
-      .sortWithinPartitions(col("segment_id"), col("__key"))
-      .select(keepCols: _*)
-
-    val (analyzed, sortedHandle, totalDocs) = assignDocIds(sortedTok, parts, conf.persist)
-    // output-file partitioning scales with data, not with task parallelism —
-    // groupBy/pack stages stay `parts`-wide for CPU, but final writes coalesce
-    // so small builds don't scatter thousands of tiny parquet files
-    def outParts(rowsPerPart: Long): Int =
-      math.max(1, math.min(parts.toLong, totalDocs / rowsPerPart + 1)).toInt
-    val docsOutParts = outParts(65536)
-    val postingsOutParts = outParts(4096)
-
-    // ---- docs table (doc store + fast fields + fieldnorms) ----
-    val docsDf = analyzed.select(
-      (Seq(col("segment_id"), col("doc_id"), col("__key").as("key")) ++
-        schema.storedFields.map(col) ++
-        schema.fields.flatMap(f =>
-          Seq(
-            col(s"__tok_${f.name}.len").as(s"len_${f.name}"),
-            col(s"__tok_${f.name}.norm").as(s"norm_${f.name}")))): _*
-    )
-    docsDf
-      .repartitionByRange(docsOutParts, col("segment_id"), col("doc_id"))
-      .sortWithinPartitions("segment_id", "doc_id")
-      .write
-      .mode("overwrite")
-      .partitionBy("segment_id")
-      .parquet(s"$indexDir/docs")
-
-    // ---- posting blocks ----
-    val tokensPerField = schema.fields.map { f =>
-      analyzed
-        .select(
-          col("segment_id"),
-          col("doc_id"),
-          lit(f.name).as("field"),
-          col(s"__tok_${f.name}.norm").as("norm_id"),
-          explode(col(s"__tok_${f.name}.terms")).as("tok")
-        )
-        .select(
-          col("segment_id"),
-          col("doc_id"),
-          col("field"),
-          col("tok.term").as("term"),
-          col("tok.tf").as("tf"),
-          col("norm_id"),
-          col("tok.positions").as("positions")
-        )
-    }
-    val tokens = tokensPerField.reduce(_ unionByName _)
-
-    val packSchema = StructType(Seq(
-      StructField("field", StringType, false),
-      StructField("term", StringType, false),
-      StructField("segment_id", IntegerType, false),
-      StructField("block_id", IntegerType, false),
-      StructField("doc_count", IntegerType, false),
-      StructField("first_doc", IntegerType, false),
-      StructField("last_doc", IntegerType, false),
-      StructField("block_max_tf", IntegerType, false),
-      StructField("block_min_norm", IntegerType, false),
-      StructField("sum_tf", LongType, false),
-      StructField("doc_ids", BinaryType, false),
-      StructField("tfs", BinaryType, false),
-      StructField("norms", BinaryType, false),
-      StructField("positions", BinaryType, true),
-      StructField("posting_bytes", LongType, false)
-    ))
-    val recordPositions = schema.fields.map(f => f.name -> (f.record == "position")).toMap
+  /** Pack token rows `(segment_id, doc_id, field, term, tf, norm_id,
+    * positions)` into posting-block rows via ONE range shuffle keyed by
+    * (segment, field, term, block): block keying spreads head terms across
+    * ~(docs/blockSpan) keys (skew salt), range partitioning gives term-sorted
+    * output files (Parquet stats pruning), and the streaming sort-merge pack
+    * replaces an object hash aggregate (no per-group buffers, fully
+    * spillable Tungsten sort). Shared by fresh builds and segment merges.
+    */
+  def packPostings(
+      tokens: DataFrame,
+      blockBits: Int,
+      parts: Int,
+      recordPositions: Map[String, Boolean]
+  ): DataFrame = {
+    val spark = tokens.sparkSession
     val bcRecPos = spark.sparkContext.broadcast(recordPositions)
-
-    // ONE range shuffle keyed by (segment, field, term, block): block keying
-    // spreads head terms across ~(docs/blockSpan) keys (skew salt), range
-    // partitioning gives term-sorted output files (Parquet stats pruning),
-    // and the streaming sort-merge pack below replaces an object hash
-    // aggregate (no per-group buffers, fully spillable Tungsten sort)
     val parted = tokens
-      .withColumn("block_id", shiftright(col("doc_id"), conf.blockBits).cast(IntegerType))
+      .select(
+        col("segment_id"), col("doc_id"), col("field"), col("term"),
+        col("tf"), col("norm_id"), col("positions"))
+      .withColumn("block_id", shiftright(col("doc_id"), blockBits).cast(IntegerType))
       .repartitionByRange(parts, col("segment_id"), col("field"), col("term"), col("block_id"))
       .sortWithinPartitions("segment_id", "field", "term", "block_id", "doc_id")
 
-    val packed = parted.mapPartitions { rows =>
+    parted.mapPartitions { rows =>
       val recPos = bcRecPos.value
       new Iterator[Row] {
         private val it = rows.buffered
@@ -265,7 +188,7 @@ object IndexBuilder {
           val tfs = new scala.collection.mutable.ArrayBuffer[Int](64)
           val norms = new scala.collection.mutable.ArrayBuffer[Int](64)
           val poss = new scala.collection.mutable.ArrayBuffer[Array[Int]](64)
-          val withPos = recPos(field)
+          val withPos = recPos.getOrElse(field, false)
           var more = true
           while (more && it.hasNext) {
             val r = it.head
@@ -296,50 +219,186 @@ object IndexBuilder {
         }
       }
     }(Encoders.row(packSchema))
+  }
 
-    packed.write
+  /** Write per-segment artifacts (docs, postings, termstats, fieldstats,
+    * metrics) for the built segments + metrics lineage. Does NOT publish a
+    * snapshot — callers compose segment builds into atomic commits.
+    * Segment dirs are replaced with dynamic partition overwrite, so existing
+    * segments in the same index are untouched.
+    *
+    * @return the non-empty segment ids written
+    */
+  def buildSegments(
+      spark: SparkSession,
+      pages: DataFrame,
+      schema: IndexSchema,
+      indexDir: String,
+      buildId: String,
+      conf: BuildConf = BuildConf(),
+      segOffset: Int = 0,
+      mergeDepth: Int = 0,
+      parentSegments: Seq[Int] = Nil
+  ): Seq[Int] = {
+    val parts =
+      if (conf.buildPartitions > 0) conf.buildPartitions
+      else spark.sessionState.conf.numShufflePartitions
+
+    // project early: key + indexed + stored columns only (column pruning
+    // reaches the source scan); the original key column is dropped so the
+    // generated doc_id/segment_id/key names can't collide
+    val needed = (schema.fields.map(_.name) ++ schema.storedFields).distinct
+      .filterNot(_ == schema.keyField)
+    require(
+      !needed.exists(Set("doc_id", "segment_id", "key", "__key").contains),
+      "reserved column name in schema fields: doc_id/segment_id/key")
+    val keyed = pages
+      .select((col(schema.keyField).cast(StringType).as("__key") +: needed.map(col)): _*)
+      .withColumn(
+        "segment_id",
+        (lit(segOffset) + pmod(xxhash64(col("__key")), lit(conf.numSegments))).cast(IntegerType))
+
+    // tokenize each indexed field exactly once, in the projection applied
+    // after the segment/key sort — the persisted intermediate carries token
+    // groups (and stored fields) but NOT the raw indexed text
+    val tokUdfs = schema.fields.map { f =>
+      val an = f.analyzer
+      f.name -> udf((s: String) => analyzeField(an, s))
+    }.toMap
+    val keepCols =
+      Seq(col("segment_id"), col("__key")) ++
+        schema.storedFields.map(col) ++
+        schema.fields.map(f => tokUdfs(f.name)(col(f.name).cast(StringType)).as(s"__tok_${f.name}"))
+    val sortedTok = keyed
+      .repartitionByRange(parts, col("segment_id"), col("__key"))
+      .sortWithinPartitions(col("segment_id"), col("__key"))
+      .select(keepCols: _*)
+
+    val (analyzed, sortedHandle, totalDocs) = assignDocIds(sortedTok, parts, conf.persist)
+    // output-file partitioning scales with data, not with task parallelism —
+    // groupBy/pack stages stay `parts`-wide for CPU, but final writes coalesce
+    // so small builds don't scatter thousands of tiny parquet files
+    def outParts(rowsPerPart: Long): Int =
+      math.max(1, math.min(parts.toLong, totalDocs / rowsPerPart + 1)).toInt
+
+    // ---- docs table (doc store + fast fields + fieldnorms) ----
+    val docsDf = analyzed.select(
+      (Seq(col("segment_id"), col("doc_id"), col("__key").as("key")) ++
+        schema.storedFields.map(col) ++
+        schema.fields.flatMap(f =>
+          Seq(
+            col(s"__tok_${f.name}.len").as(s"len_${f.name}"),
+            col(s"__tok_${f.name}.norm").as(s"norm_${f.name}")))): _*
+    )
+    docsDf
+      .repartitionByRange(outParts(65536), col("segment_id"), col("doc_id"))
+      .sortWithinPartitions("segment_id", "doc_id")
+      .write
       .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("segment_id")
+      .parquet(s"$indexDir/docs")
+
+    // ---- posting blocks ----
+    val tokensPerField = schema.fields.map { f =>
+      analyzed
+        .select(
+          col("segment_id"),
+          col("doc_id"),
+          lit(f.name).as("field"),
+          col(s"__tok_${f.name}.norm").as("norm_id"),
+          explode(col(s"__tok_${f.name}.terms")).as("tok")
+        )
+        .select(
+          col("segment_id"),
+          col("doc_id"),
+          col("field"),
+          col("tok.term").as("term"),
+          col("tok.tf").as("tf"),
+          col("norm_id"),
+          col("tok.positions").as("positions")
+        )
+    }
+    val tokens = tokensPerField.reduce(_ unionByName _)
+    val recordPositions = schema.fields.map(f => f.name -> (f.record == "position")).toMap
+
+    packPostings(tokens, conf.blockBits, parts, recordPositions).write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("segment_id")
       .parquet(s"$indexDir/postings")
 
-    // downstream stats read the (small) packed blocks back rather than
-    // persisting the token-level intermediate
-    val postingsRead = spark.read.parquet(s"$indexDir/postings")
+    writeStats(spark, schema, indexDir, buildId, segOffset, conf.numSegments,
+      outParts(4096), mergeDepth, parentSegments)
 
-    // ---- global term stats (df, total_tf) ----
+    sortedHandle.unpersist()
+
+    spark.read.parquet(s"$indexDir/docs")
+      .filter(col("segment_id") >= segOffset && col("segment_id") < segOffset + conf.numSegments)
+      .select("segment_id").distinct().collect().map(_.getInt(0)).sorted.toSeq
+  }
+
+  /** Per-segment termstats/fieldstats from the freshly written segment data,
+    * plus an append-only metrics lineage row per segment.
+    */
+  private def writeStats(
+      spark: SparkSession,
+      schema: IndexSchema,
+      indexDir: String,
+      buildId: String,
+      segOffset: Int,
+      numSegments: Int,
+      statParts: Int,
+      mergeDepth: Int,
+      parentSegments: Seq[Int]
+  ): Unit = {
+    val inRange =
+      col("segment_id") >= segOffset && col("segment_id") < segOffset + numSegments
+    val postingsRead = spark.read.parquet(s"$indexDir/postings").filter(inRange)
+    val docsRead = spark.read.parquet(s"$indexDir/docs").filter(inRange)
+
     postingsRead
-      .groupBy("field", "term")
+      .groupBy("segment_id", "field", "term")
       .agg(sum("doc_count").cast(LongType).as("df"), sum("sum_tf").as("total_tf"))
-      .repartitionByRange(postingsOutParts, col("field"), col("term"))
-      .sortWithinPartitions("field", "term")
+      .repartitionByRange(statParts, col("segment_id"), col("field"), col("term"))
+      .sortWithinPartitions("segment_id", "field", "term")
       .write
       .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("segment_id")
       .parquet(s"$indexDir/termstats")
 
-    // ---- field stats (N, total tokens → avgdl): from the written docs table ----
-    val docsRead = spark.read.parquet(s"$indexDir/docs")
     val statAggs = schema.fields.map(f => sum(col(s"len_${f.name}")).as(s"tt_${f.name}"))
-    val statRow = docsRead.agg(count(lit(1)).as("n_docs"), statAggs: _*).collect()(0)
-    val fieldStatRows = schema.fields.map { f =>
-      Row(f.name, statRow.getAs[Long]("n_docs"), statRow.getAs[Long](s"tt_${f.name}"))
+    val segStats = docsRead
+      .groupBy("segment_id")
+      .agg(count(lit(1)).as("n_docs"), statAggs: _*)
+      .collect()
+    val fsRows = segStats.flatMap { r =>
+      schema.fields.map(f =>
+        Row(f.name, r.getAs[Long]("n_docs"), r.getAs[Long](s"tt_${f.name}"),
+          r.getAs[Int]("segment_id")))
     }
     val fsSchema = StructType(Seq(
       StructField("field", StringType, false),
       StructField("n_docs", LongType, false),
-      StructField("total_tokens", LongType, true)))
+      StructField("total_tokens", LongType, true),
+      StructField("segment_id", IntegerType, false)))
     spark
-      .createDataFrame(spark.sparkContext.parallelize(fieldStatRows, 1), fsSchema)
-      .write.mode("overwrite").parquet(s"$indexDir/fieldstats")
+      .createDataFrame(spark.sparkContext.parallelize(fsRows.toSeq, 1), fsSchema)
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("segment_id")
+      .parquet(s"$indexDir/fieldstats")
 
     // ---- per-segment metrics (north-rule lineage table) ----
     val segPostings = postingsRead
       .groupBy("segment_id")
       .agg(
         sum("posting_bytes").as("posting_bytes"),
-        countDistinct("field", "term").as("num_terms")
-      )
-    val segDocs = docsRead.groupBy("segment_id").agg(count(lit(1)).as("num_docs"))
-    segDocs
+        countDistinct("field", "term").as("num_terms"))
+    docsRead
+      .groupBy("segment_id").agg(count(lit(1)).as("num_docs"))
       .join(segPostings, Seq("segment_id"), "left")
       .select(
         lit(buildId).as("build_id"),
@@ -347,28 +406,28 @@ object IndexBuilder {
         col("num_docs"),
         coalesce(col("num_terms"), lit(0L)).as("num_terms"),
         coalesce(col("posting_bytes"), lit(0L)).as("posting_bytes"),
-        lit(0).as("merge_depth"),
-        lit(Array.empty[String]).as("parent_segments"),
+        lit(mergeDepth).as("merge_depth"),
+        lit(parentSegments.map(_.toString).toArray).as("parent_segments"),
         current_timestamp().as("created_at")
       )
       .coalesce(1)
       .write
       .mode("append")
       .parquet(s"$indexDir/metrics")
+  }
 
-    sortedHandle.unpersist()
-
-    // atomic visibility marker
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(indexDir),
-      spark.sparkContext.hadoopConfiguration
-    )
-    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/_COMMIT.tmp")
-    val dst = new org.apache.hadoop.fs.Path(s"$indexDir/_COMMIT")
-    val out = fs.create(tmp, true)
-    out.write(buildId.getBytes("UTF-8"))
-    out.close()
-    fs.delete(dst, false)
-    fs.rename(tmp, dst)
+  /** Fresh full build: build all segments from `pages` and publish snapshot
+    * v1 (or the next version if the index already exists).
+    */
+  def build(
+      spark: SparkSession,
+      pages: DataFrame,
+      schema: IndexSchema,
+      indexDir: String,
+      buildId: String,
+      conf: BuildConf = BuildConf()
+  ): Unit = {
+    val segs = buildSegments(spark, pages, schema, indexDir, buildId, conf)
+    Snapshots.commit(spark, indexDir, segs, buildId)
   }
 }

@@ -1,0 +1,352 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+import graft.search.IndexReader
+
+/** Index maintenance: segment merges, merge policies, vacuum, delete-by-set,
+  * incremental upsert ingestion — the write-path operators W1–W9 of
+  * SURVEY.md §2.7 (reference:
+  * `/root/reference/summa-core/src/components/index_writer_holder.rs:289-473`
+  * and the merge_policies module).
+  */
+object Maintenance {
+
+  /** Decoded posting entry with optional positions. */
+  private final case class FullEntry(doc_id: Int, tf: Int, norm_id: Int, positions: Array[Int])
+
+  private val unpackFull: UserDefinedFunction =
+    udf((docIds: Array[Byte], tfs: Array[Byte], norms: Array[Byte], pos: Array[Byte], n: Int) => {
+      val ids = PostingCodec.unpackDocIds(docIds, n)
+      val tf = PostingCodec.unpackVarInts(tfs, n)
+      val ps =
+        if (pos == null) null
+        else PostingCodec.unpackPositions(pos, tf)
+      Array.tabulate(n)(i =>
+        FullEntry(ids(i), tf(i), norms(i) & 0xFF, if (ps == null) null else ps(i)))
+    })
+
+  /** Merge the given segments into one new segment (W3: `merge_segments`,
+    * `index_writer_holder.rs:403-414`): docIds are rebased to the rank of
+    * the doc key within the merged set, tombstoned docs are dropped, and
+    * postings are re-blocked with the same single-shuffle streaming pack as
+    * fresh builds. Publishes a new snapshot (live − merged + new).
+    *
+    * @return the new segment id
+    */
+  def mergeSegments(
+      spark: SparkSession,
+      indexDir: String,
+      schema: IndexSchema,
+      segIds: Seq[Int],
+      buildId: String,
+      conf: IndexBuilder.BuildConf = IndexBuilder.BuildConf()
+  ): Int = {
+    require(segIds.nonEmpty, "no segments to merge")
+    val reader = new IndexReader(spark, indexDir)
+    val live = reader.snapshot.map(_.segments).getOrElse(
+      sys.error("mergeSegments requires a snapshot-committed index"))
+    require(segIds.forall(live.contains), s"segments not live: ${segIds.filterNot(live.contains)}")
+    val newSeg = live.max + 1
+    val parts =
+      if (conf.buildPartitions > 0) conf.buildPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val segCond = col("segment_id").isin(segIds.map(Integer.valueOf): _*)
+
+    // 1. merged docs: drop tombstones, re-rank keys into the new segment
+    val oldDocs = reader.applyDeletes(reader.docs.filter(segCond))
+      .withColumnRenamed("segment_id", "old_seg")
+      .withColumnRenamed("doc_id", "old_doc")
+      .withColumnRenamed("key", "__key")
+      .withColumn("segment_id", lit(newSeg))
+    val sorted = oldDocs
+      .repartitionByRange(parts, col("segment_id"), col("__key"))
+      .sortWithinPartitions(col("segment_id"), col("__key"))
+    val (withIds, handle, _) = IndexBuilder.assignDocIds(sorted, parts, conf.persist)
+
+    withIds
+      .drop("old_seg", "old_doc")
+      .withColumnRenamed("__key", "key")
+      .repartitionByRange(math.max(parts / 4, 1), col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("segment_id")
+      .parquet(s"$indexDir/docs")
+
+    // 2. postings: unpack → remap docIds (inner join drops tombstoned docs)
+    //    → re-block → streaming pack
+    val mapping = withIds.select(
+      col("old_seg"), col("old_doc"), col("doc_id").as("new_doc"))
+    val exploded = reader.postings
+      .filter(segCond)
+      .select(
+        col("field"), col("term"), col("segment_id").as("old_seg"),
+        explode(unpackFull(col("doc_ids"), col("tfs"), col("norms"), col("positions"),
+          col("doc_count"))).as("p"))
+      .select(
+        col("field"), col("term"), col("old_seg"),
+        col("p.doc_id").as("old_doc"), col("p.tf").as("tf"),
+        col("p.norm_id").as("norm_id"), col("p.positions").as("positions"))
+    val remapped = exploded
+      .join(mapping, Seq("old_seg", "old_doc"))
+      .select(
+        lit(newSeg).as("segment_id"), col("new_doc").as("doc_id"),
+        col("field"), col("term"), col("tf"), col("norm_id"), col("positions"))
+
+    val recordPositions = schema.fields.map(f => f.name -> (f.record == "position")).toMap
+    IndexBuilder.packPostings(remapped, conf.blockBits, parts, recordPositions).write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("segment_id")
+      .parquet(s"$indexDir/postings")
+
+    handle.unpersist()
+
+    // 3. per-segment stats + lineage for the new segment
+    val parentDepth = reader.metrics
+      .filter(segCond)
+      .agg(max("merge_depth"))
+      .collect()(0).getInt(0)
+    writeSegmentStats(spark, indexDir, schema, newSeg, buildId, parentDepth + 1,
+      segIds, parts)
+
+    // 4. tombstones of merged segments are now baked in — drop them
+    clearDeletes(spark, indexDir, segIds)
+
+    // 5. atomic publish
+    Snapshots.commit(spark, indexDir, live.filterNot(segIds.contains) :+ newSeg, buildId)
+    newSeg
+  }
+
+  private def writeSegmentStats(
+      spark: SparkSession,
+      indexDir: String,
+      schema: IndexSchema,
+      segId: Int,
+      buildId: String,
+      mergeDepth: Int,
+      parents: Seq[Int],
+      parts: Int
+  ): Unit = {
+    import org.apache.spark.sql.types._
+    val postingsRead = spark.read.parquet(s"$indexDir/postings").filter(col("segment_id") === segId)
+    val docsRead = spark.read.parquet(s"$indexDir/docs").filter(col("segment_id") === segId)
+
+    postingsRead
+      .groupBy("segment_id", "field", "term")
+      .agg(sum("doc_count").cast(LongType).as("df"), sum("sum_tf").as("total_tf"))
+      .repartitionByRange(math.max(parts / 4, 1), col("field"), col("term"))
+      .sortWithinPartitions("field", "term")
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("segment_id")
+      .parquet(s"$indexDir/termstats")
+
+    val statAggs = schema.fields.map(f => sum(col(s"len_${f.name}")).as(s"tt_${f.name}"))
+    val statRow = docsRead.agg(count(lit(1)).as("n_docs"), statAggs: _*).collect()(0)
+    val fsRows = schema.fields.map(f =>
+      org.apache.spark.sql.Row(
+        f.name, statRow.getAs[Long]("n_docs"), statRow.getAs[Long](s"tt_${f.name}"), segId))
+    val fsSchema = StructType(Seq(
+      StructField("field", StringType, false),
+      StructField("n_docs", LongType, false),
+      StructField("total_tokens", LongType, true),
+      StructField("segment_id", IntegerType, false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(fsRows, 1), fsSchema)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("segment_id")
+      .parquet(s"$indexDir/fieldstats")
+
+    val segPostings = postingsRead
+      .groupBy("segment_id")
+      .agg(sum("posting_bytes").as("posting_bytes"), countDistinct("field", "term").as("num_terms"))
+    docsRead.groupBy("segment_id").agg(count(lit(1)).as("num_docs"))
+      .join(segPostings, Seq("segment_id"), "left")
+      .select(
+        lit(buildId).as("build_id"), col("segment_id"), col("num_docs"),
+        coalesce(col("num_terms"), lit(0L)).as("num_terms"),
+        coalesce(col("posting_bytes"), lit(0L)).as("posting_bytes"),
+        lit(mergeDepth).as("merge_depth"),
+        lit(parents.map(_.toString).toArray).as("parent_segments"),
+        current_timestamp().as("created_at"))
+      .coalesce(1)
+      .write.mode("append").parquet(s"$indexDir/metrics")
+  }
+
+  /** Append tombstones for a doc-set (W/S8: delete by query — callers pass
+    * `searcher.search(query)` output).
+    */
+  def deleteDocs(spark: SparkSession, indexDir: String, hits: DataFrame): Long = {
+    val rows = hits.select("segment_id", "doc_id").distinct().persist()
+    val n = rows.count()
+    if (n > 0) rows.write.mode("append").parquet(s"$indexDir/deletes")
+    rows.unpersist()
+    n
+  }
+
+  /** Rewrite the deletes table without the given segments' tombstones. */
+  private def clearDeletes(spark: SparkSession, indexDir: String, segIds: Seq[Int]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/deletes")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val remaining = spark.read.parquet(s"$indexDir/deletes")
+      .filter(!col("segment_id").isin(segIds.map(Integer.valueOf): _*))
+      .collect()
+    fs.delete(p, true)
+    if (remaining.nonEmpty) {
+      import org.apache.spark.sql.types._
+      val sch = StructType(Seq(
+        StructField("segment_id", IntegerType), StructField("doc_id", IntegerType)))
+      spark.createDataFrame(spark.sparkContext.parallelize(remaining.toSeq, 1), sch)
+        .write.mode("overwrite").parquet(s"$indexDir/deletes")
+    }
+  }
+
+  // -------------------------------------------------------- merge policies
+
+  /** tantivy-style log merge policy (W4, `merge_policies/log_merge_policy.rs`):
+    * bucket live segments by log of doc count; any bucket with >=
+    * minNumSegments members is a merge candidate. Driver-side over the
+    * metrics table.
+    */
+  def logMergeCandidates(
+      segDocs: Seq[(Int, Long)],
+      minNumSegments: Int = 8,
+      maxDocsBeforeMerge: Long = 10_000_000L,
+      minLayerSize: Long = 10_000L,
+      levelLogSize: Double = 0.75
+  ): Seq[Seq[Int]] = {
+    val eligible = segDocs.filter(_._2 <= maxDocsBeforeMerge).sortBy(-_._2)
+    if (eligible.isEmpty) return Nil
+    def logSize(n: Long): Double = math.log(math.max(n, minLayerSize).toDouble)
+    val out = Vector.newBuilder[Seq[Int]]
+    var bucket = Vector.empty[(Int, Long)]
+    var bucketMax = Double.NegativeInfinity
+    def flush(): Unit = {
+      if (bucket.size >= minNumSegments) out += bucket.map(_._1)
+      bucket = Vector.empty
+      bucketMax = Double.NegativeInfinity
+    }
+    eligible.foreach { case (seg, n) =>
+      val l = logSize(n)
+      if (bucket.isEmpty || l >= bucketMax - levelLogSize) {
+        if (bucket.isEmpty) bucketMax = l
+        bucket :+= (seg, n)
+      } else {
+        flush()
+        bucketMax = l
+        bucket = Vector((seg, n))
+      }
+    }
+    flush()
+    out.result()
+  }
+
+  /** Temporal merge policy (W5, `merge_policies/temporal_merge_policy.rs:26-53`):
+    * one candidate of every live segment older than the pivot.
+    */
+  def temporalMergeCandidates(
+      segCreatedAt: Seq[(Int, Long)],
+      mergeOlderThanSecs: Long,
+      nowMillis: Long = System.currentTimeMillis()
+  ): Seq[Seq[Int]] = {
+    val pivot = nowMillis - mergeOlderThanSecs * 1000
+    val old = segCreatedAt.filter(_._2 < pivot).map(_._1)
+    if (old.isEmpty) Nil else Seq(old)
+  }
+
+  /** Latest metrics row per live segment: (segment_id, num_docs, created_at millis). */
+  def liveSegmentStats(spark: SparkSession, indexDir: String): Seq[(Int, Long, Long)] = {
+    val reader = new IndexReader(spark, indexDir)
+    val live = reader.snapshot.map(_.segments).getOrElse(Nil).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("segment_id").orderBy(col("created_at").desc)
+    reader.metrics
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select("segment_id", "num_docs", "created_at")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getTimestamp(2).getTime))
+      .filter(t => live.contains(t._1))
+      .toSeq
+  }
+
+  /** Vacuum (W6, `index_writer_holder.rs:425-461`): merge all live,
+    * non-excluded segments into one.
+    */
+  def vacuum(
+      spark: SparkSession,
+      indexDir: String,
+      schema: IndexSchema,
+      buildId: String,
+      excludedSegments: Set[Int] = Set.empty,
+      conf: IndexBuilder.BuildConf = IndexBuilder.BuildConf()
+  ): Option[Int] = {
+    val live = Snapshots.latest(spark, indexDir).map(_.segments).getOrElse(Nil)
+    val targets = live.filterNot(excludedSegments.contains)
+    if (targets.size < 2) None
+    else Some(mergeSegments(spark, indexDir, schema, targets, buildId, conf))
+  }
+
+  // ----------------------------------------------------- incremental ingest
+
+  sealed trait ConflictStrategy
+  object ConflictStrategy {
+    /** keep existing docs, drop incoming conflicts (`DO_NOTHING`). */
+    case object DoNothing extends ConflictStrategy
+    /** tombstone existing docs sharing a key, index incoming (`OVERWRITE`). */
+    case object Overwrite extends ConflictStrategy
+  }
+
+  /** Incremental ingestion with upsert semantics (S2 + W7: index_bulk +
+    * resolve_conflicts): builds new segments from `newDocs` at the next free
+    * segment-id range, resolves key conflicts per the strategy, publishes one
+    * atomic snapshot. This is also the `foreachBatch` body for streaming
+    * ingestion.
+    *
+    * @return new segment ids
+    */
+  def addDocuments(
+      spark: SparkSession,
+      indexDir: String,
+      schema: IndexSchema,
+      newDocs: DataFrame,
+      buildId: String,
+      strategy: ConflictStrategy = ConflictStrategy.Overwrite,
+      conf: IndexBuilder.BuildConf = IndexBuilder.BuildConf()
+  ): Seq[Int] = {
+    val reader = new IndexReader(spark, indexDir)
+    val live = reader.snapshot.map(_.segments).getOrElse(Nil)
+    val segOffset = if (live.isEmpty) 0 else live.max + 1
+
+    val incomingKeys = newDocs
+      .select(col(schema.keyField).cast("string").as("key")).distinct()
+
+    val toIndex = strategy match {
+      case ConflictStrategy.Overwrite =>
+        // tombstone every live doc sharing a key with the incoming batch
+        val conflicts = reader.docs
+          .join(incomingKeys, Seq("key"))
+          .select("segment_id", "doc_id")
+        deleteDocs(spark, indexDir, conflicts)
+        newDocs
+      case ConflictStrategy.DoNothing =>
+        val existing = reader.docs.select(col("key")).distinct()
+        newDocs.join(
+          existing.withColumnRenamed("key", "__existing_key"),
+          col(schema.keyField).cast("string") === col("__existing_key"),
+          "left_anti")
+    }
+
+    val segs = IndexBuilder.buildSegments(
+      spark, toIndex, schema, indexDir, buildId, conf, segOffset)
+    Snapshots.commit(spark, indexDir, live ++ segs, buildId)
+    segs
+  }
+}

@@ -272,10 +272,13 @@ class Searcher(val reader: IndexReader, val schema: IndexSchema) {
       throw new UnsupportedOperationException("MoreLikeThisQuery: planned for a later phase")
   }
 
-  /** Scored doc-set of a query: (segment_id, doc_id, score). */
+  /** Scored doc-set of a query: (segment_id, doc_id, score), tombstoned docs
+    * excluded (reference: delete-by-query tombstones,
+    * `index_writer_holder.rs:99-105`).
+    */
   def search(q: Query): DataFrame = {
     val dfs = reader.termDfs(collectTerms(q).distinct)
-    plan(q, dfs)
+    reader.applyDeletes(plan(q, dfs))
   }
 
   /** Top-k by BM25 with the reference tie-break (score desc, then doc

@@ -1,0 +1,170 @@
+package graft.index
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+import graft.search._
+
+class MaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = IndexSchema(
+    keyField = "doc_id",
+    fields = Seq(FieldDef("text", "summa", "position")),
+    defaultFields = Seq("text"),
+    storedFields = Nil
+  )
+
+  private val vocab = Vector("spark", "window", "merge", "table", "scan", "join", "filter", "query")
+  private def corpus(n: Int, seed: Int): Vector[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    Vector.tabulate(n)(i => (i.toLong, Vector.fill(8 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+  }
+
+  private def keyScores(s: Searcher, q: Query): Map[String, Double] =
+    s.reader.docs.select(col("segment_id"), col("doc_id"), col("key"))
+      .join(s.search(q), Seq("segment_id", "doc_id"))
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[Double]("score")).toMap
+
+  test("merge preserves (key, score) results exactly; lineage recorded") {
+    val dir = Files.createTempDirectory("graft-merge").toString
+    val df = corpus(150, 3).toDF("doc_id", "text")
+    IndexBuilder.build(spark, df, schema, dir, "b0", IndexBuilder.BuildConf(numSegments = 4))
+
+    val before = keyScores(new Searcher(new IndexReader(spark, dir), schema), TermQuery("text", "spark"))
+    val live0 = Snapshots.latest(spark, dir).get.segments
+    assert(live0.size == 4)
+
+    val newSeg = Maintenance.mergeSegments(spark, dir, schema, live0.take(2), "m1",
+      IndexBuilder.BuildConf(numSegments = 4))
+    val snap1 = Snapshots.latest(spark, dir).get
+    assert(snap1.segments.sorted == (live0.drop(2) :+ newSeg).sorted)
+
+    val after = keyScores(new Searcher(new IndexReader(spark, dir), schema), TermQuery("text", "spark"))
+    assert(after == before, "merge must not change (key, score) results")
+
+    // phrase queries still work post-merge (positions survived the rebase)
+    val ph = new Searcher(new IndexReader(spark, dir), schema)
+      .count(PhraseQuery("text", Seq((0, "spark"), (1, "window")), 0))
+    val phBefore = {
+      val s2dir = Files.createTempDirectory("graft-merge-ref").toString
+      IndexBuilder.build(spark, df, schema, s2dir, "ref", IndexBuilder.BuildConf(numSegments = 1))
+      new Searcher(new IndexReader(spark, s2dir), schema)
+        .count(PhraseQuery("text", Seq((0, "spark"), (1, "window")), 0))
+    }
+    assert(ph == phBefore)
+
+    // lineage: the merged segment records its parents and depth 1
+    val m = new IndexReader(spark, dir).metrics
+      .filter(col("segment_id") === newSeg).orderBy(col("created_at").desc).collect().head
+    assert(m.getAs[Int]("merge_depth") == 1)
+    assert(m.getSeq[String](m.fieldIndex("parent_segments")).map(_.toInt).sorted == live0.take(2).sorted)
+  }
+
+  test("delete-by-query tombstones, then merge bakes them in") {
+    val dir = Files.createTempDirectory("graft-del").toString
+    val df = corpus(100, 5).toDF("doc_id", "text")
+    IndexBuilder.build(spark, df, schema, dir, "b0", IndexBuilder.BuildConf(numSegments = 3))
+
+    val s0 = new Searcher(new IndexReader(spark, dir), schema)
+    val sparkDocs = s0.count(TermQuery("text", "spark"))
+    val bothDocs = s0.count(BooleanQuery(Seq(
+      (Occur.Must, TermQuery("text", "spark")), (Occur.Must, TermQuery("text", "merge")))))
+    assert(sparkDocs > 0 && bothDocs > 0)
+
+    // delete docs matching (spark AND merge)
+    val del = Maintenance.deleteDocs(spark, dir,
+      s0.search(BooleanQuery(Seq(
+        (Occur.Must, TermQuery("text", "spark")), (Occur.Must, TermQuery("text", "merge"))))))
+    assert(del == bothDocs)
+
+    val s1 = new Searcher(new IndexReader(spark, dir), schema)
+    assert(s1.count(TermQuery("text", "spark")) == sparkDocs - bothDocs)
+
+    // vacuum merges everything, dropping tombstoned docs physically
+    val merged = Maintenance.vacuum(spark, dir, schema, "v1",
+      conf = IndexBuilder.BuildConf(numSegments = 3))
+    assert(merged.isDefined)
+    val r2 = new IndexReader(spark, dir)
+    assert(r2.deletes.isEmpty, "tombstones must be cleared after merge")
+    val s2 = new Searcher(r2, schema)
+    assert(s2.count(TermQuery("text", "spark")) == sparkDocs - bothDocs)
+    assert(r2.docs.count() == 100 - bothDocs)
+  }
+
+  test("upsert addDocuments: Overwrite replaces, DoNothing keeps") {
+    val dir = Files.createTempDirectory("graft-upsert").toString
+    val df = Seq((1L, "spark window"), (2L, "merge table"), (3L, "scan filter"))
+      .toDF("doc_id", "text")
+    IndexBuilder.build(spark, df, schema, dir, "b0", IndexBuilder.BuildConf(numSegments = 2))
+
+    // overwrite doc 2 + add doc 4
+    val batch = Seq((2L, "spark spark spark"), (4L, "window query")).toDF("doc_id", "text")
+    Maintenance.addDocuments(spark, dir, schema, batch, "up1",
+      Maintenance.ConflictStrategy.Overwrite, IndexBuilder.BuildConf(numSegments = 1))
+
+    val s1 = new Searcher(new IndexReader(spark, dir), schema)
+    assert(s1.count(TermQuery("text", "merge")) == 0, "old doc 2 must be gone")
+    val sparkHits = keyScores(s1, TermQuery("text", "spark")).keySet
+    assert(sparkHits == Set("1", "2"))
+    assert(s1.count(AllQuery) == 4)
+
+    // DoNothing: conflicting doc 4 dropped, new doc 5 added
+    val batch2 = Seq((4L, "merge merge"), (5L, "table scan")).toDF("doc_id", "text")
+    Maintenance.addDocuments(spark, dir, schema, batch2, "up2",
+      Maintenance.ConflictStrategy.DoNothing, IndexBuilder.BuildConf(numSegments = 1))
+    val s2 = new Searcher(new IndexReader(spark, dir), schema)
+    assert(s2.count(TermQuery("text", "merge")) == 0, "doc 4's old version must win")
+    assert(s2.count(AllQuery) == 5)
+  }
+
+  test("merge policies") {
+    // log policy: 10 similar-sized small segments → one candidate bucket
+    val segs = (0 until 10).map(i => (i, 1000L + i * 10))
+    val cands = Maintenance.logMergeCandidates(segs, minNumSegments = 8)
+    assert(cands.size == 1 && cands.head.size == 10)
+    // one big + few small → no bucket reaches min size
+    val mixed = Seq((0, 5_000_000L)) ++ (1 until 4).map(i => (i, 1000L))
+    assert(Maintenance.logMergeCandidates(mixed, minNumSegments = 8).isEmpty)
+    // temporal
+    val now = 1_000_000_000L
+    val byAge = Seq((0, now - 100_000L), (1, now - 10_000L), (2, now - 1000L))
+    assert(Maintenance.temporalMergeCandidates(byAge, 50, now) == Seq(Seq(0)))
+    assert(Maintenance.temporalMergeCandidates(byAge, 5, now) == Seq(Seq(0, 1)))
+  }
+
+  test("resumable wave build: skip completed waves, final result identical") {
+    val df = corpus(120, 9).toDF("doc_id", "text")
+    val dirA = Files.createTempDirectory("graft-resume-a").toString
+    val segsA = ResumableBuild.build(spark, df, schema, dirA, "w1",
+      IndexBuilder.BuildConf(numSegments = 2), waves = 3)
+    assert(segsA.nonEmpty)
+    assert((0 until 3).forall(w => ResumableBuild.waveCheckpoint(spark, dirA, w).isDefined))
+
+    // re-run: all waves skipped, snapshot version bumps but same segments
+    val v1 = Snapshots.latest(spark, dirA).get
+    val segsA2 = ResumableBuild.build(spark, df, schema, dirA, "w1-rerun",
+      IndexBuilder.BuildConf(numSegments = 2), waves = 3)
+    assert(segsA2 == segsA)
+    assert(Snapshots.latest(spark, dirA).get.segments == v1.segments)
+
+    // simulate a crashed wave: remove its checkpoint, resume rebuilds it
+    val f = new org.apache.hadoop.fs.Path(s"$dirA/_checkpoints/wave_1.json")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(s"$dirA/_checkpoints/wave_1.json"), false)
+    val segsA3 = ResumableBuild.build(spark, df, schema, dirA, "w1-resume",
+      IndexBuilder.BuildConf(numSegments = 2), waves = 3)
+    assert(segsA3.sorted == segsA.sorted)
+
+    // (key, score) results equal a single-shot build
+    val dirB = Files.createTempDirectory("graft-resume-b").toString
+    IndexBuilder.build(spark, df, schema, dirB, "single", IndexBuilder.BuildConf(numSegments = 4))
+    val qa = keyScores(new Searcher(new IndexReader(spark, dirA), schema), TermQuery("text", "spark"))
+    val qb = keyScores(new Searcher(new IndexReader(spark, dirB), schema), TermQuery("text", "spark"))
+    assert(qa == qb)
+  }
+}
