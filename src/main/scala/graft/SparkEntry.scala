@@ -118,6 +118,59 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // ---- collectors: eval scorer, aggregations, facets, reservoir, MLT, snippets ----
+    "q_eval_topk" -> ((sp, dir) => {
+      val s = DocsIndex.searcher(sp, dir)
+      // over-fetch then re-rank on the rounded score so ties at the k
+      // boundary resolve identically to the oracle
+      s.topDocsByEval(TermQuery("text", "vector"), "original_score * fastsigm(n_chars, 300)", 50)
+        .select(col("key").cast("long").as("doc_id"), round(col("eval_score"), 4).as("eval_score"))
+        .orderBy(col("eval_score").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+    "q_agg_terms" -> ((sp, dir) => {
+      val s = DocsIndex.searcher(sp, dir)
+      Collectors.aggregate(s.searchWithDocs(TermQuery("text", "spark")),
+        Collectors.TermsAgg("lang", 10))
+    }),
+    "q_agg_range" -> ((sp, dir) => {
+      val s = DocsIndex.searcher(sp, dir)
+      Collectors.aggregate(s.searchWithDocs(AllQuery),
+        Collectors.RangeAgg("n_chars", Seq((None, Some(200.0)), (Some(200.0), Some(400.0)), (Some(400.0), None))))
+    }),
+    "q_facet" -> ((sp, dir) => {
+      val d = sp.read.parquet(s"$dir/documents.parquet")
+        .withColumn("facets", array(lit("/src"), concat(lit("/src/"), col("source"))))
+      Collectors.facetCounts(d, "facets", "/src")
+    }),
+    "q_reservoir" -> ((sp, dir) => {
+      // rows-only: random sample (seeded); contract tested in CollectorsSpec
+      val s = DocsIndex.searcher(sp, dir)
+      val sample = Collectors.reservoirSample(s.search(TermQuery("text", "spark")), 15, seed = 42)
+      import sp.implicits._
+      sample.toSeq.toDF("segment_id", "doc_id").orderBy("segment_id", "doc_id")
+    }),
+    "q_mlt" -> ((sp, dir) => {
+      // rows-only: MoreLikeThis expansion; semantics tested in CollectorsSpec
+      val s = DocsIndex.searcher(sp, dir)
+      val seedText = sp.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") === 0).select("text").head().getString(0)
+      val mlt = MoreLikeThisQuery(Map("text" -> seedText),
+        minDocFrequency = 1, minTermFrequency = 2, maxQueryTerms = 5)
+      DocsIndex.scored(s, mlt)
+        .orderBy(col("score").desc, col("doc_id").asc).limit(10)
+    }),
+    "q_snippets" -> ((sp, dir) => {
+      // rows-only: deterministic snippet strings over the top-5 hits
+      val s = DocsIndex.searcher(sp, dir)
+      val top = s.topDocsWithKeys(TermQuery("text", "vector"), 5)
+        .select(col("key").cast("long").as("doc_id"))
+      val docs = sp.read.parquet(s"$dir/documents.parquet").join(top, "doc_id")
+      val snip = udf((t: String) =>
+        Snippets.generate(t, Set("vector"), graft.analysis.Analyzers.summa, 80).toHtml)
+      docs.select(col("doc_id"), snip(col("text")).as("snippet")).orderBy("doc_id")
+    }),
+
     // ---- training-data pipeline ops (dedup / similarity / text analysis) ----
     "q_dedup_exact" -> ((sp, dir) => {
       ops.Dedup.exactGroups(
@@ -219,6 +272,31 @@ object SparkEntry {
       """SELECT min(doc_id) AS rep_id, count(*) AS group_size
         |FROM documents GROUP BY lang, source HAVING count(*) > 1
         |ORDER BY rep_id""".stripMargin,
+    "q_eval_topk" ->
+      (OracleSql.prologue + OracleSql.termScoreCte("vector", "t") +
+        """
+          |,ev AS (
+          |  SELECT s.doc_id,
+          |         s.score * (abs(d.n_chars) / (300.0 + abs(d.n_chars))) AS ev
+          |  FROM sc_t s JOIN documents d ON d.doc_id = s.doc_id)
+          |SELECT doc_id, round(ev, 4) AS eval_score FROM ev
+          |ORDER BY round(ev, 4) DESC, doc_id LIMIT 10""".stripMargin),
+    "q_agg_terms" ->
+      (OracleSql.prologue +
+        """
+          |SELECT d.lang AS key, count(*) AS doc_count
+          |FROM documents d
+          |WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM ftok WHERE w = 'spark')
+          |GROUP BY d.lang ORDER BY doc_count DESC, key ASC LIMIT 10""".stripMargin),
+    "q_agg_range" ->
+      """SELECT key, count(*) AS doc_count FROM (
+        |  SELECT CASE WHEN n_chars < 200 THEN '*-200.0'
+        |              WHEN n_chars >= 200 AND n_chars < 400 THEN '200.0-400.0'
+        |              ELSE '400.0-*' END AS key
+        |  FROM documents) GROUP BY key ORDER BY key""".stripMargin,
+    "q_facet" ->
+      """SELECT '/src/' || source AS facet, count(*) AS cnt
+        |FROM documents GROUP BY 1 ORDER BY facet""".stripMargin,
     "q_dedup_ngram" -> OracleSql.ngramJaccardPairs(0.8),
     "q_dedup_embed" -> OracleSql.cosinePairs(0.45),
     "q_ann_brute" -> OracleSql.cosineTopK(20),

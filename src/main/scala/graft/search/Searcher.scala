@@ -66,15 +66,61 @@ class Searcher(val reader: IndexReader, val schema: IndexSchema) {
   private def totalDocs(field: String): Long =
     reader.fieldStats.get(field).map(_.nDocs).getOrElse(0L)
 
-  /** All (field, term) pairs needed to score a query tree. */
+  /** All (field, term) pairs needed to score a resolved query tree. */
   private def collectTerms(q: Query): Seq[(String, String)] = q match {
     case TermQuery(f, v)       => Seq((f, v))
     case PhraseQuery(f, ts, _) => ts.map { case (_, t) => (f, t) }
     case BooleanQuery(cs, _)   => cs.flatMap { case (_, c) => collectTerms(c) }
     case BoostQuery(c, _)      => collectTerms(c)
     case DisjunctionMaxQuery(ds, _) => ds.flatMap(collectTerms)
-    case MatchQuery(v)         => collectTerms(parseMatch(v))
     case _                     => Nil
+  }
+
+  /** Rewrite parse-time nodes into the executable algebra: MatchQuery runs
+    * the SummaQL parser; MoreLikeThis extracts salient terms and becomes a
+    * should-boolean (reference: `proto_query_parser.rs:143-157, 204-237`).
+    */
+  def resolve(q: Query): Query = q match {
+    case MatchQuery(v)               => resolve(parseMatch(v))
+    case mlt: MoreLikeThisQuery      => expandMoreLikeThis(mlt)
+    case BooleanQuery(cs, m)         => BooleanQuery(cs.map { case (o, c) => (o, resolve(c)) }, m)
+    case BoostQuery(c, b)            => BoostQuery(resolve(c), b)
+    case DisjunctionMaxQuery(ds, tb) => DisjunctionMaxQuery(ds.map(resolve), tb)
+    case other                       => other
+  }
+
+  /** MoreLikeThis: tokenize the passed doc's field values, keep terms passing
+    * tf / df / word-length / stop-word gates, rank by tf·idf, OR the top
+    * `maxQueryTerms` as TermQueries.
+    */
+  private def expandMoreLikeThis(mlt: MoreLikeThisQuery): Query = {
+    val candidates: Seq[(String, String, Int)] = mlt.fields.toSeq.flatMap { case (field, text) =>
+      schema.field(field).toSeq.flatMap { fd =>
+        val toks = Analyzers(fd.analyzer).tokenize(text)
+        toks
+          .groupBy(_.text)
+          .map { case (t, ts) => (field, t, ts.size) }
+          .filter { case (_, t, tf) =>
+            tf >= mlt.minTermFrequency &&
+            (mlt.minWordLength <= 0 || t.length >= mlt.minWordLength) &&
+            (mlt.maxWordLength <= 0 || t.length <= mlt.maxWordLength) &&
+            !graft.analysis.StopWords.All.contains(t)
+          }
+      }
+    }
+    if (candidates.isEmpty) return EmptyQuery
+    val dfs = reader.termDfs(candidates.map(c => (c._1, c._2)))
+    val scored = candidates.flatMap { case (f, t, tf) =>
+      val df = dfs.getOrElse((f, t), 0L)
+      if (df < mlt.minDocFrequency || df > mlt.maxDocFrequency || df == 0L) None
+      else Some(((f, t), tf * BM25.idf(df, totalDocs(f))))
+    }
+    val top = scored.sortBy { case ((f, t), s) => (-s, f, t) }.take(mlt.maxQueryTerms)
+    if (top.isEmpty) EmptyQuery
+    else {
+      val bool = BooleanQuery(top.map { case ((f, t), _) => (Occur.Should, TermQuery(f, t): Query) })
+      mlt.boost.map(BoostQuery(bool, _)).getOrElse(bool)
+    }
   }
 
   /** Parser config bound to this index's schema; fast fields = stored
@@ -267,9 +313,8 @@ class Searcher(val reader: IndexReader, val schema: IndexSchema) {
         .select(col("segment_id"), col("p.doc_id").as("doc_id"))
         .distinct()
         .withColumn("score", lit(1.0))
-    case MatchQuery(v)       => plan(parseMatch(v), dfs)
-    case mlt: MoreLikeThisQuery =>
-      throw new UnsupportedOperationException("MoreLikeThisQuery: planned for a later phase")
+    case MatchQuery(v)          => plan(resolve(MatchQuery(v)), dfs)
+    case mlt: MoreLikeThisQuery => plan(resolve(mlt), dfs)
   }
 
   /** Scored doc-set of a query: (segment_id, doc_id, score), tombstoned docs
@@ -277,8 +322,47 @@ class Searcher(val reader: IndexReader, val schema: IndexSchema) {
     * `index_writer_holder.rs:99-105`).
     */
   def search(q: Query): DataFrame = {
-    val dfs = reader.termDfs(collectTerms(q).distinct)
-    reader.applyDeletes(plan(q, dfs))
+    val rq = resolve(q)
+    val dfs = reader.termDfs(collectTerms(rq).distinct)
+    reader.applyDeletes(plan(rq, dfs))
+  }
+
+  /** Hits joined with the docs table (fast fields + stored columns) — the
+    * substrate for fast-field ordering, eval scoring and aggregations.
+    */
+  def searchWithDocs(q: Query): DataFrame =
+    reader.docs.join(search(q), keys, "inner")
+
+  /** Top-k ordered by a fast field (C2, `fruit_extractors.rs:144-163`). */
+  def topDocsByField(q: Query, field: String, k: Int, asc: Boolean = false): DataFrame = {
+    val ord = if (asc) col(field).asc else col(field).desc
+    searchWithDocs(q).orderBy(ord, col("segment_id").asc, col("doc_id").asc).limit(k)
+  }
+
+  /** Top-k by an eval-expr score (C3): the expression string compiles to a
+    * Column over `original_score`, `now` and fast-field columns — Catalyst
+    * whole-stage codegen replaces the reference's per-segment fasteval.
+    */
+  def topDocsByEval(q: Query, exprSrc: String, k: Int, nowSecs: Double = 0.0): DataFrame = {
+    val base = searchWithDocs(q)
+    val vars: Map[String, Column] =
+      base.columns.map(c => c -> col(c)).toMap +
+        ("original_score" -> col("score")) +
+        ("now" -> lit(nowSecs))
+    base
+      .withColumn("eval_score", Collectors.EvalExpr.compile(exprSrc, vars))
+      .orderBy(col("eval_score").desc, col("segment_id").asc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** One-pass multi-collector (reference `MultiCollector`,
+    * `index_holder.rs:507-529`): the matched doc-set is cached once and every
+    * collector action reuses it.
+    */
+  def multiCollect[A](q: Query)(body: DataFrame => A): A = {
+    val hits = search(q).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try body(hits)
+    finally { hits.unpersist(); () }
   }
 
   /** Top-k by BM25 with the reference tie-break (score desc, then doc
