@@ -371,9 +371,17 @@ class Searcher(val reader: IndexReader, val schema: IndexSchema) {
     * shape of the reference's per-segment collect + merge_fruits).
     */
   def topDocs(q: Query, limit: Int, offset: Int = 0): DataFrame = {
-    val top = search(q)
-      .orderBy(col("score").desc, col("segment_id").asc, col("doc_id").asc)
-      .limit(offset + limit)
+    val rq = resolve(q)
+    // route should-only term bags through the block-max WAND pruned scan
+    // (a pure optimization: result-identical, verified in tests)
+    val top = WandTopK.eligible(rq) match {
+      case Some((f, terms)) if reader.deletes.isEmpty =>
+        WandTopK.topK(this, f, terms, offset + limit)
+      case _ =>
+        search(rq)
+          .orderBy(col("score").desc, col("segment_id").asc, col("doc_id").asc)
+          .limit(offset + limit)
+    }
     if (offset == 0) top
     else {
       // the window only ever sees offset+limit rows (post-TakeOrdered)
