@@ -35,7 +35,7 @@ final case class Analyzer(
 }
 
 /** Registry of named analyzers (reference: `default_tokenizers.rs:363-388`).
-  * `summa_dict` / `summa_mmd` are not yet implemented.
+  * `summa_mmd` (markdown/LaTeX) is not yet ported.
   */
 object Analyzers {
   private def raw(text: String): IndexedSeq[Token] =
@@ -51,12 +51,14 @@ object Analyzers {
   val default: Analyzer =
     Analyzer(SimpleWordTokenizer.tokenize(_), removeLongLimit = 100, lowerCase = true, stopWords = true)
   val whitespace: Analyzer = Analyzer(WhitespaceTokenizer.tokenize(_), lowerCase = true)
+  val summaDict: Analyzer = Analyzer(DictTokenizer.drugs.tokenize(_))
   val rawAnalyzer: Analyzer = Analyzer(raw(_))
   val rawCi: Analyzer = Analyzer(raw(_), lowerCase = true)
 
   val byName: Map[String, Analyzer] = Map(
     "summa" -> summa,
     "summa_html" -> summaHtml,
+    "summa_dict" -> summaDict,
     "summa_without_stop_words" -> summaWithoutStopWords,
     "default" -> default,
     "whitespace" -> whitespace,

@@ -325,23 +325,26 @@ object Maintenance {
     val live = reader.snapshot.map(_.segments).getOrElse(Nil)
     val segOffset = if (live.isEmpty) 0 else live.max + 1
 
-    val incomingKeys = newDocs
-      .select(col(schema.keyField).cast("string").as("key")).distinct()
-
-    val toIndex = strategy match {
-      case ConflictStrategy.Overwrite =>
-        // tombstone every live doc sharing a key with the incoming batch
-        val conflicts = reader.docs
-          .join(incomingKeys, Seq("key"))
-          .select("segment_id", "doc_id")
-        deleteDocs(spark, indexDir, conflicts)
-        newDocs
-      case ConflictStrategy.DoNothing =>
-        val existing = reader.docs.select(col("key")).distinct()
-        newDocs.join(
-          existing.withColumnRenamed("key", "__existing_key"),
-          col(schema.keyField).cast("string") === col("__existing_key"),
-          "left_anti")
+    // bootstrapping a fresh index: no existing docs, no conflicts
+    val toIndex = if (live.isEmpty) newDocs
+    else {
+      val incomingKeys = newDocs
+        .select(col(schema.keyField).cast("string").as("key")).distinct()
+      strategy match {
+        case ConflictStrategy.Overwrite =>
+          // tombstone every live doc sharing a key with the incoming batch
+          val conflicts = reader.docs
+            .join(incomingKeys, Seq("key"))
+            .select("segment_id", "doc_id")
+          deleteDocs(spark, indexDir, conflicts)
+          newDocs
+        case ConflictStrategy.DoNothing =>
+          val existing = reader.docs.select(col("key")).distinct()
+          newDocs.join(
+            existing.withColumnRenamed("key", "__existing_key"),
+            col(schema.keyField).cast("string") === col("__existing_key"),
+            "left_anti")
+      }
     }
 
     val segs = IndexBuilder.buildSegments(

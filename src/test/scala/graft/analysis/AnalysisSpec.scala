@@ -185,3 +185,27 @@ class AnalysisSpec extends AnyFunSuite {
     assert(a.tokenize("abcde abcdef заяц").map(_.text) == Seq("abcde"))
   }
 }
+
+/** DictTokenizer goldens (reference `dict_tokenizer.rs:110-151`). */
+class DictTokenizerSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("drug dictionary: boundary-gated leftmost-longest canonical matches") {
+    val toks = DictTokenizer.drugs.tokenize(
+      "FOXP2 gene (not FOXP21) can be correlated with autism spectrum disorder or just autismo")
+    assert(toks.size == 1, s"got $toks")
+    assert(toks(0) == Token("foxp2", 0, 0, 5))
+    assert(DictTokenizer.drugs.tokenize("FOXP2ген связан с аутизмом").isEmpty)
+  }
+  test("canonical synonym emission and custom dicts") {
+    val dict = new DictTokenizer(Seq(
+      Seq("levobupivacaine", "chirocain", "levobupivacaine hydrochloride"),
+      Seq("aspirin", "acetylsalicylic acid")))
+    assert(dict.tokenize("took Chirocain today").map(_.text) == Seq("levobupivacaine"))
+    // leftmost-longest: the multiword synonym wins over the prefix
+    assert(dict.tokenize("levobupivacaine hydrochloride dose") ==
+      Seq(Token("levobupivacaine", 0, 0, 29)))
+    assert(dict.tokenize("Acetylsalicylic Acid = ASPIRIN").map(_.text) ==
+      Seq("aspirin", "aspirin"))
+    // no match inside a larger word
+    assert(dict.tokenize("xaspirin aspirinx").isEmpty)
+  }
+}
