@@ -118,6 +118,18 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // ---- reflection / export ----
+    "q_top_terms" -> ((sp, dir) => {
+      val s = DocsIndex.searcher(sp, dir)
+      Reflection.topTerms(s.reader, "text", 10)
+    }),
+    "q_export_filtered" -> ((sp, dir) => {
+      val s = DocsIndex.searcher(sp, dir)
+      Reflection.exportDocuments(s, Some(TermQuery("text", "dup")), Seq("key", "lang"))
+        .select(col("key").cast("long").as("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // ---- collectors: eval scorer, aggregations, facets, reservoir, MLT, snippets ----
     "q_eval_topk" -> ((sp, dir) => {
       val s = DocsIndex.searcher(sp, dir)
@@ -272,6 +284,17 @@ object SparkEntry {
       """SELECT min(doc_id) AS rep_id, count(*) AS group_size
         |FROM documents GROUP BY lang, source HAVING count(*) > 1
         |ORDER BY rep_id""".stripMargin,
+    "q_top_terms" ->
+      (OracleSql.prologue +
+        """
+          |SELECT w AS term, count(DISTINCT doc_id) AS df
+          |FROM ftok GROUP BY w ORDER BY df DESC, term ASC LIMIT 10""".stripMargin),
+    "q_export_filtered" ->
+      (OracleSql.prologue +
+        """
+          |SELECT d.doc_id, d.lang FROM documents d
+          |WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM ftok WHERE w = 'dup')
+          |ORDER BY d.doc_id""".stripMargin),
     "q_eval_topk" ->
       (OracleSql.prologue + OracleSql.termScoreCte("vector", "t") +
         """

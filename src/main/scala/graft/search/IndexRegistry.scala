@@ -1,0 +1,87 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.index.IndexSchema
+
+/** Multi-index registry with alias resolution and cross-index search
+  * (reference: `IndexRegistry`,
+  * `/root/reference/summa-core/src/components/index_registry.rs:90-213`).
+  * Each index scores with its own statistics (as the reference does); merged
+  * results keep an `index_name` discriminator.
+  */
+class IndexRegistry {
+  private val searchers = scala.collection.concurrent.TrieMap[String, Searcher]()
+  private val aliases = scala.collection.concurrent.TrieMap[String, String]()
+
+  def register(name: String, searcher: Searcher): Unit = searchers.put(name, searcher)
+  def addAlias(alias: String, name: String): Unit = aliases.put(alias, name)
+  def resolve(nameOrAlias: String): Searcher =
+    searchers.getOrElse(aliases.getOrElse(nameOrAlias, nameOrAlias),
+      throw new IllegalArgumentException(s"unknown index: $nameOrAlias"))
+
+  /** Search several indices, merge top-k by score (reference
+    * `finalize_extraction` merge shape).
+    */
+  def searchAll(names: Seq[String], q: Query, k: Int): DataFrame = {
+    val parts = names.map { n =>
+      resolve(n).topDocs(q, k).withColumn("index_name", lit(n))
+    }
+    parts
+      .reduce(_ unionByName _)
+      .orderBy(col("score").desc, col("index_name").asc, col("segment_id").asc, col("doc_id").asc)
+      .limit(k)
+  }
+}
+
+/** Reflection / export operators (S4, S10, W10 of SURVEY.md §2). */
+object Reflection {
+
+  /** Per-segment top-k terms of a field by doc frequency (S10,
+    * `summa-server/src/apis/reflection.rs:28-77`) — the head-term report
+    * that drives skew decisions.
+    */
+  def topTermsPerSegment(reader: IndexReader, field: String, k: Int): DataFrame = {
+    val w = Window.partitionBy("segment_id").orderBy(col("df").desc, col("term").asc)
+    reader.termStatsDf
+      .filter(col("field") === field)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select("segment_id", "term", "df")
+      .orderBy("segment_id", "term")
+  }
+
+  /** Index-wide top-k terms by summed df. */
+  def topTerms(reader: IndexReader, field: String, k: Int): DataFrame =
+    reader.termStatsDf
+      .filter(col("field") === field)
+      .groupBy("term")
+      .agg(sum("df").as("df"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(k)
+
+  /** Stream documents out of the index, optionally query-filtered and
+    * field-projected (S4, `index_holder.rs:729-812`). Unfiltered exports are
+    * a straight scan of the doc store; filtered ones join the scored set.
+    */
+  def exportDocuments(
+      searcher: Searcher,
+      query: Option[Query] = None,
+      fields: Seq[String] = Nil
+  ): DataFrame = {
+    val base = query match {
+      case Some(q) => searcher.searchWithDocs(q)
+      case None    => searcher.reader.docs
+    }
+    if (fields.isEmpty) base else base.select(fields.map(col): _*)
+  }
+
+  /** Warm-up (W10, `index_holder.rs:329-375`): prime postings + stats. */
+  def warmup(reader: IndexReader): Unit = {
+    reader.fieldStats // forces stats read
+    reader.postings.select(count(lit(1))).collect()
+    reader.termStatsDf.select(count(lit(1))).collect()
+  }
+}

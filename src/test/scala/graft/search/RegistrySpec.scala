@@ -1,0 +1,51 @@
+package graft.search
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.index.{FieldDef, IndexBuilder, IndexSchema}
+
+class RegistrySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = IndexSchema(
+    keyField = "doc_id",
+    fields = Seq(FieldDef("text", "summa", "position")),
+    defaultFields = Seq("text"))
+
+  test("registry: aliases, cross-index merged top-k, export, top terms, warmup") {
+    def mk(docs: Seq[(Long, String)], tag: String): Searcher = {
+      val dir = Files.createTempDirectory(s"graft-reg-$tag").toString
+      IndexBuilder.build(spark, docs.toDF("doc_id", "text"), schema, dir, tag,
+        IndexBuilder.BuildConf(numSegments = 2))
+      new Searcher(new IndexReader(spark, dir), schema)
+    }
+    val a = mk(Seq((1L, "spark window"), (2L, "spark spark merge")), "a")
+    val b = mk(Seq((10L, "spark table"), (11L, "scan filter")), "b")
+
+    val reg = new IndexRegistry
+    reg.register("idx_a", a)
+    reg.register("idx_b", b)
+    reg.addAlias("primary", "idx_a")
+    assert(reg.resolve("primary") eq a)
+
+    val merged = reg.searchAll(Seq("idx_a", "idx_b"), TermQuery("text", "spark"), 10).collect()
+    assert(merged.length == 3)
+    assert(merged.map(_.getAs[String]("index_name")).toSet == Set("idx_a", "idx_b"))
+
+    val top = Reflection.topTerms(a.reader, "text", 2).collect()
+    assert(top.head.getString(0) == "spark" && top.head.getLong(1) == 2L)
+    val perSeg = Reflection.topTermsPerSegment(a.reader, "text", 5).collect()
+    assert(perSeg.nonEmpty)
+
+    val export = Reflection.exportDocuments(a, Some(TermQuery("text", "merge")), Seq("key"))
+      .collect().map(_.getString(0))
+    assert(export.toSeq == Seq("2"))
+    assert(Reflection.exportDocuments(a).count() == 2)
+
+    Reflection.warmup(a.reader) // smoke: no exceptions
+  }
+}
