@@ -34,9 +34,7 @@ final case class Analyzer(
   }
 }
 
-/** Registry of named analyzers (reference: `default_tokenizers.rs:363-388`).
-  * `summa_mmd` (markdown/LaTeX) is not yet ported.
-  */
+/** Registry of named analyzers (reference: `default_tokenizers.rs:363-388`). */
 object Analyzers {
   private def raw(text: String): IndexedSeq[Token] =
     if (text.isEmpty) Vector.empty
@@ -46,6 +44,8 @@ object Analyzers {
     Analyzer(SummaTokenizer.tokenize(_), removeLongLimit = 100, lowerCase = true, stopWords = true)
   val summaHtml: Analyzer =
     Analyzer(HtmlTokenizer.tokenize(_), removeLongLimit = 100, lowerCase = true, stopWords = true)
+  val summaMmd: Analyzer =
+    Analyzer(MmdTokenizer.tokenize(_), removeLongLimit = 100, lowerCase = true, stopWords = true)
   val summaWithoutStopWords: Analyzer =
     Analyzer(SummaTokenizer.tokenize(_), removeLongLimit = 100, lowerCase = true)
   val default: Analyzer =
@@ -59,6 +59,7 @@ object Analyzers {
     "summa" -> summa,
     "summa_html" -> summaHtml,
     "summa_dict" -> summaDict,
+    "summa_mmd" -> summaMmd,
     "summa_without_stop_words" -> summaWithoutStopWords,
     "default" -> default,
     "whitespace" -> whitespace,
