@@ -59,7 +59,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpusHigh = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val cpusLow = math.max(cpusHigh / 4, 1)
-    val nPages = sys.env.getOrElse("GRAFT_BENCH_PAGES", "100000").toLong
+    val nPages = sys.env.getOrElse("GRAFT_BENCH_PAGES", "200000").toLong
 
     val work = Files.createTempDirectory("graft-bench").toString
     val pagesDir = s"$work/pages"
