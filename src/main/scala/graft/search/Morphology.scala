@@ -4,13 +4,27 @@ import graft.analysis.StopWords
 
 /** English morphology expansion for SummaQL (reference:
   * `query_parser/morphology/english.rs:45-75` + `morphology/mod.rs:16-57`):
-  * a noun-looking word expands to DisjunctionMax(singular, plural) with the
-  * configured coefficient as tie-breaker; stop words, words ending in a
-  * digit, and `-ing` forms are left as plain terms. (The reference's
-  * optional US/UK spelling dictionary is a config-gated extra not ported
-  * yet.)
+  * a noun-looking word expands to DisjunctionMax over its tenses plus the
+  * US/UK spelling variant's tenses (spelling.csv, bundled, bidirectional),
+  * with the configured coefficient as tie-breaker; stop words, words ending
+  * in a digit, and `-ing` forms are left as plain terms.
   */
 object Morphology {
+
+  /** Bidirectional US↔UK spelling dictionary (reference `english.rs:14-36`). */
+  lazy val spellingDict: Map[String, String] = {
+    val in = getClass.getResourceAsStream("/spelling.csv")
+    require(in != null, "missing resource /spelling.csv")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try {
+      src.getLines().filter(_.nonEmpty).flatMap { line =>
+        val cols = line.split(',').map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        if (cols.length >= 2) Seq(cols(0) -> cols(1), cols(1) -> cols(0)) else Nil
+      }.toMap
+    } finally src.close()
+  }
+
+  def deriveSpelling(word: String): Option[String] = spellingDict.get(word)
 
   private val Vowels = Set('a', 'e', 'i', 'o', 'u')
 
@@ -40,11 +54,23 @@ object Morphology {
     else Some((word, toPlural(word)))
   }
 
-  def deriveQuery(field: String, word: String, tieBreaker: Double): Query =
-    deriveTenses(word) match {
-      case Some((singular, plural)) if singular != plural =>
-        DisjunctionMaxQuery(
-          Seq(TermQuery(field, singular), TermQuery(field, plural)), tieBreaker)
-      case _ => TermQuery(field, word)
+  /** Terms = own tenses (or the word), plus the first term's spelling
+    * variant's tenses (reference `mod.rs:16-57` assembly).
+    */
+  def deriveQuery(field: String, word: String, tieBreaker: Double): Query = {
+    val base: Seq[String] = deriveTenses(word) match {
+      case Some((singular, plural)) => Seq(singular, plural).distinct
+      case None                     => Seq(word)
     }
+    val withSpelling = deriveSpelling(base.head) match {
+      case Some(sp) =>
+        base ++ (deriveTenses(sp) match {
+          case Some((s2, p2)) => Seq(s2, p2).distinct
+          case None           => Seq(sp)
+        })
+      case None => base
+    }
+    if (withSpelling.size == 1) TermQuery(field, withSpelling.head)
+    else DisjunctionMaxQuery(withSpelling.map(TermQuery(field, _)), tieBreaker)
+  }
 }

@@ -45,3 +45,41 @@ class PageGenSpec extends AnyFunSuite {
     assert(s.count(TermQuery("lang", "en")) == (0L until 500L).count(_ % 4 == 0).toLong)
   }
 }
+
+/** Scale-mechanics assertions: head-term skew bounding + typed ranges. */
+class ScaleMechanicsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("head term present in every doc shards into bounded posting blocks") {
+    // 2000 docs ALL containing 'common' → without block keying this would be
+    // one giant posting group; with blockBits=6 groups are <= 64 postings
+    val docs = (0L until 2000L).map(i => (i, s"common w${i % 37} w${i % 11}"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    graft.index.IndexBuilder.build(
+      spark, docs.toDF("doc_id", "text"),
+      graft.index.IndexSchema(
+        "doc_id", Seq(graft.index.FieldDef("text", "summa", "position")), Seq("text")),
+      dir, "skew", graft.index.IndexBuilder.BuildConf(numSegments = 2, blockBits = 6))
+    val blocks = spark.read.parquet(s"$dir/postings")
+      .filter($"term" === "common")
+      .select("doc_count").collect().map(_.getInt(0))
+    assert(blocks.sum == 2000)
+    assert(blocks.max <= 64, s"block group exceeded the docId-range bound: ${blocks.max}")
+    assert(blocks.length >= 2000 / 64, "head term must shard across many blocks")
+  }
+
+  test("typed timestamp range over the pages index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tsrange").toString
+    val df = graft.gen.PageGen.pages(spark, 200, 4)
+    graft.index.IndexBuilder.build(spark, df, graft.index.IndexSchema.pages, dir, "ts",
+      graft.index.IndexBuilder.BuildConf(numSegments = 2))
+    val s = new graft.search.Searcher(
+      new graft.search.IndexReader(spark, dir), graft.index.IndexSchema.pages)
+    // rows have warc_ts = 2026-01-01T00:00:00Z + i seconds
+    val q = graft.search.RangeQuery(
+      "warc_ts", Some("2026-01-01 00:00:50"), Some("2026-01-01 00:01:39"))
+    assert(s.count(q) == 50L)
+  }
+}

@@ -222,3 +222,26 @@ class SummaQLSpec extends AnyFunSuite {
     assert(p("secret:value", c) == EmptyQuery)
   }
 }
+
+/** US/UK spelling expansion (reference english.rs spelling.csv). */
+class MorphologySpellingSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("spelling variants expand into the tense dismax") {
+    assert(Morphology.deriveSpelling("colour").contains("color"))
+    assert(Morphology.deriveSpelling("color").contains("colour"))
+    val q = Morphology.deriveQuery("title", "colour", 0.3)
+    q match {
+      case DisjunctionMaxQuery(ds, tb) =>
+        assert(tb == 0.3)
+        val terms = ds.collect { case TermQuery(_, t) => t }
+        assert(terms.contains("colour") && terms.contains("colours"))
+        assert(terms.contains("color") && terms.contains("colors"))
+      case other => fail(s"expected dismax, got $other")
+    }
+    // no spelling entry → plain tense pair
+    Morphology.deriveQuery("title", "engine", 0.3) match {
+      case DisjunctionMaxQuery(ds, _) =>
+        assert(ds == Seq(TermQuery("title", "engine"), TermQuery("title", "engines")))
+      case other => fail(s"$other")
+    }
+  }
+}
