@@ -67,6 +67,27 @@ object SparkEntry {
       val q = PhraseQuery("text", Seq((0, "spark"), (1, "window")), 0)
       DocsIndex.scored(s, q).orderBy("doc_id")
     }),
+    "q_min_should" -> ((sp, dir) => {
+      val s = DocsIndex.searcher(sp, dir)
+      val q = BooleanQuery(
+        Seq("spark", "window", "batch").map(t => (Occur.Should, TermQuery("text", t): Query)),
+        minimumShouldMatch = Some(2))
+      DocsIndex.scored(s, q).orderBy("doc_id")
+    }),
+    "q_bool_phrase_mix" -> ((sp, dir) => {
+      val s = DocsIndex.searcher(sp, dir)
+      val q = BooleanQuery(Seq(
+        (Occur.Must, TermQuery("text", "spark")),
+        (Occur.Should, PhraseQuery("text", Seq((0, "merge"), (1, "table")), 0))))
+      DocsIndex.scored(s, q).orderBy("doc_id")
+    }),
+    "q_boost_compose" -> ((sp, dir) => {
+      val s = DocsIndex.searcher(sp, dir)
+      val q = BooleanQuery(Seq(
+        (Occur.Should, BoostQuery(TermQuery("text", "spark"), 2.0)),
+        (Occur.Should, TermQuery("text", "window"))))
+      DocsIndex.scored(s, q).orderBy("doc_id")
+    }),
     "q_count" -> ((sp, dir) => {
       val s = DocsIndex.searcher(sp, dir)
       s.search(TermQuery("text", "merge")).agg(count(lit(1)).as("cnt"))
@@ -260,6 +281,48 @@ object SparkEntry {
     "q_bool_must_not" -> OracleSql.boolMustNot("spark", "window"),
     "q_dismax" -> OracleSql.dismax("spark", "window", 0.3),
     "q_phrase" -> OracleSql.phrase("spark", "window"),
+    "q_min_should" ->
+      (OracleSql.prologue + OracleSql.termScoreCte("spark", "a") +
+        OracleSql.termScoreCte("window", "b") + OracleSql.termScoreCte("batch", "c") +
+        """
+          |SELECT coalesce(a.doc_id, b.doc_id, c.doc_id) AS doc_id,
+          |       round(coalesce(a.score, 0) + coalesce(b.score, 0) + coalesce(c.score, 0), 4) AS score
+          |FROM sc_a a
+          |FULL OUTER JOIN sc_b b ON a.doc_id = b.doc_id
+          |FULL OUTER JOIN sc_c c ON coalesce(a.doc_id, b.doc_id) = c.doc_id
+          |WHERE (a.doc_id IS NOT NULL)::INT + (b.doc_id IS NOT NULL)::INT +
+          |      (c.doc_id IS NOT NULL)::INT >= 2
+          |ORDER BY doc_id""".stripMargin),
+    "q_bool_phrase_mix" ->
+      (OracleSql.prologue + OracleSql.termScoreCte("spark", "a") +
+        """
+          |,p1 AS (SELECT doc_id, pos FROM tok WHERE w = 'merge'),
+          |p2 AS (SELECT doc_id, pos FROM tok WHERE w = 'table'),
+          |ph AS (
+          |  SELECT p1.doc_id, count(*)::DOUBLE AS tf
+          |  FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+          |  GROUP BY 1
+          |),
+          |df1 AS (SELECT count(DISTINCT doc_id)::DOUBLE AS df FROM p1),
+          |df2 AS (SELECT count(DISTINCT doc_id)::DOUBLE AS df FROM p2),
+          |phs AS (
+          |  SELECT ph.doc_id,
+          |         (ln(1 + (s.n - d1.df + 0.5) / (d1.df + 0.5)) +
+          |          ln(1 + (s.n - d2.df + 0.5) / (d2.df + 0.5))) *
+          |         (ph.tf * (1.2 + 1)) / (ph.tf + 1.2 * ((1 - 0.75) + 0.75 * q.qlen / s.avgdl)) AS score
+          |  FROM ph, df1 d1, df2 d2, stats s
+          |  JOIN qn q ON q.doc_id = ph.doc_id)
+          |SELECT a.doc_id, round(a.score + coalesce(p.score, 0), 4) AS score
+          |FROM sc_a a LEFT JOIN phs p ON p.doc_id = a.doc_id
+          |ORDER BY a.doc_id""".stripMargin),
+    "q_boost_compose" ->
+      (OracleSql.prologue + OracleSql.termScoreCte("spark", "a") +
+        OracleSql.termScoreCte("window", "b") +
+        """
+          |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+          |       round(coalesce(a.score * 2.0, 0) + coalesce(b.score, 0), 4) AS score
+          |FROM sc_a a FULL OUTER JOIN sc_b b ON a.doc_id = b.doc_id
+          |ORDER BY doc_id""".stripMargin),
     "q_count" -> OracleSql.termCount("merge"),
     "q_range_fast" ->
       "SELECT doc_id FROM documents WHERE n_chars >= 200 AND n_chars <= 400 ORDER BY doc_id",

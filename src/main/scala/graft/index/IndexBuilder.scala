@@ -221,6 +221,16 @@ object IndexBuilder {
     }(Encoders.row(packSchema))
   }
 
+  private val timing = sys.env.get("GRAFT_BUILD_TIMING").contains("1")
+  private def timed[A](name: String)(f: => A): A =
+    if (!timing) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[build-timing] $name=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+
   /** Write per-segment artifacts (docs, postings, termstats, fieldstats,
     * metrics) for the built segments + metrics lineage. Does NOT publish a
     * snapshot — callers compose segment builds into atomic commits.
@@ -274,7 +284,8 @@ object IndexBuilder {
       .sortWithinPartitions(col("segment_id"), col("__key"))
       .select(keepCols: _*)
 
-    val (analyzed, sortedHandle, totalDocs) = assignDocIds(sortedTok, parts, conf.persist)
+    val (analyzed, sortedHandle, totalDocs) =
+      timed("tokenize+sort+docids")(assignDocIds(sortedTok, parts, conf.persist))
     // output-file partitioning scales with data, not with task parallelism —
     // groupBy/pack stages stay `parts`-wide for CPU, but final writes coalesce
     // so small builds don't scatter thousands of tiny parquet files
@@ -290,14 +301,14 @@ object IndexBuilder {
             col(s"__tok_${f.name}.len").as(s"len_${f.name}"),
             col(s"__tok_${f.name}.norm").as(s"norm_${f.name}")))): _*
     )
-    docsDf
+    timed("docs-write")(docsDf
       .repartitionByRange(outParts(65536), col("segment_id"), col("doc_id"))
       .sortWithinPartitions("segment_id", "doc_id")
       .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("segment_id")
-      .parquet(s"$indexDir/docs")
+      .parquet(s"$indexDir/docs"))
 
     // ---- posting blocks ----
     val tokensPerField = schema.fields.map { f =>
@@ -322,14 +333,14 @@ object IndexBuilder {
     val tokens = tokensPerField.reduce(_ unionByName _)
     val recordPositions = schema.fields.map(f => f.name -> (f.record == "position")).toMap
 
-    packPostings(tokens, conf.blockBits, parts, recordPositions).write
+    timed("postings-pack-write")(packPostings(tokens, conf.blockBits, parts, recordPositions).write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("segment_id")
-      .parquet(s"$indexDir/postings")
+      .parquet(s"$indexDir/postings"))
 
-    writeStats(spark, schema, indexDir, buildId, segOffset, conf.numSegments,
-      outParts(4096), mergeDepth, parentSegments)
+    timed("stats+metrics")(writeStats(spark, schema, indexDir, buildId, segOffset, conf.numSegments,
+      outParts(4096), mergeDepth, parentSegments))
 
     sortedHandle.unpersist()
 
@@ -355,6 +366,7 @@ object IndexBuilder {
     val inRange =
       col("segment_id") >= segOffset && col("segment_id") < segOffset + numSegments
     val postingsRead = spark.read.parquet(s"$indexDir/postings").filter(inRange)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val docsRead = spark.read.parquet(s"$indexDir/docs").filter(inRange)
 
     postingsRead
@@ -368,6 +380,9 @@ object IndexBuilder {
       .partitionBy("segment_id")
       .parquet(s"$indexDir/termstats")
 
+    // one pass over docs drives fieldstats AND the metrics doc counts; the
+    // per-segment aggregates are tiny, so metrics rows assemble driver-side
+    // (no join job)
     val statAggs = schema.fields.map(f => sum(col(s"len_${f.name}")).as(s"tt_${f.name}"))
     val segStats = docsRead
       .groupBy("segment_id")
@@ -397,23 +412,31 @@ object IndexBuilder {
       .agg(
         sum("posting_bytes").as("posting_bytes"),
         countDistinct("field", "term").as("num_terms"))
-    docsRead
-      .groupBy("segment_id").agg(count(lit(1)).as("num_docs"))
-      .join(segPostings, Seq("segment_id"), "left")
-      .select(
-        lit(buildId).as("build_id"),
-        col("segment_id"),
-        col("num_docs"),
-        coalesce(col("num_terms"), lit(0L)).as("num_terms"),
-        coalesce(col("posting_bytes"), lit(0L)).as("posting_bytes"),
-        lit(mergeDepth).as("merge_depth"),
-        lit(parentSegments.map(_.toString).toArray).as("parent_segments"),
-        current_timestamp().as("created_at")
-      )
-      .coalesce(1)
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    val parents = parentSegments.map(_.toString).toArray
+    val metricRows = segStats.map { r =>
+      val seg = r.getAs[Int]("segment_id")
+      val (bytes, terms) = segPostings.getOrElse(seg, (0L, 0L))
+      Row(buildId, seg, r.getAs[Long]("n_docs"), terms, bytes, mergeDepth, parents, now)
+    }
+    val mSchema = StructType(Seq(
+      StructField("build_id", StringType, false),
+      StructField("segment_id", IntegerType, false),
+      StructField("num_docs", LongType, false),
+      StructField("num_terms", LongType, false),
+      StructField("posting_bytes", LongType, false),
+      StructField("merge_depth", IntegerType, false),
+      StructField("parent_segments", ArrayType(StringType, false), false),
+      StructField("created_at", TimestampType, false)))
+    spark
+      .createDataFrame(spark.sparkContext.parallelize(metricRows.toSeq, 1), mSchema)
       .write
       .mode("append")
       .parquet(s"$indexDir/metrics")
+    postingsRead.unpersist()
   }
 
   /** Fresh full build: build all segments from `pages` and publish snapshot
