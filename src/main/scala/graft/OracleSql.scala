@@ -63,6 +63,19 @@ object OracleSql {
     prologue + termScoreCte(term, "t") +
       "\nSELECT doc_id, round(score, 4) AS score FROM sc_t ORDER BY doc_id"
 
+  /** Fieldnorms-off scoring: constant length 1 instead of the quantized
+    * per-doc length.
+    */
+  def termQueryNoFieldnorms(term: String): String =
+    prologue +
+      s""",tf_t AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM ftok WHERE w = '$term' GROUP BY 1),
+         |df_t AS (SELECT count(*)::DOUBLE AS df FROM tf_t)
+         |SELECT t.doc_id,
+         |       round(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) *
+         |             (t.tf * (1.2 + 1)) / (t.tf + 1.2 * ((1 - 0.75) + 0.75 * 1.0 / s.avgdl)), 4) AS score
+         |FROM tf_t t, df_t d, stats s
+         |ORDER BY doc_id""".stripMargin
+
   def termTopK(term: String, k: Int): String =
     prologue + termScoreCte(term, "t") +
       s"\nSELECT doc_id, round(score, 4) AS score FROM sc_t ORDER BY round(score, 4) DESC, doc_id LIMIT $k"
@@ -113,6 +126,29 @@ object OracleSql {
          |  FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
          |  GROUP BY 1
          |),
+         |df1 AS (SELECT count(DISTINCT doc_id)::DOUBLE AS df FROM p1),
+         |df2 AS (SELECT count(DISTINCT doc_id)::DOUBLE AS df FROM p2)
+         |SELECT ph.doc_id,
+         |       round(
+         |         (ln(1 + (s.n - d1.df + 0.5) / (d1.df + 0.5)) +
+         |          ln(1 + (s.n - d2.df + 0.5) / (d2.df + 0.5))) *
+         |         (ph.tf * (1.2 + 1)) / (ph.tf + 1.2 * ((1 - 0.75) + 0.75 * q.qlen / s.avgdl)), 4) AS score
+         |FROM ph, df1 d1, df2 d2, stats s
+         |JOIN qn q ON q.doc_id = ph.doc_id
+         |ORDER BY ph.doc_id""".stripMargin
+
+  /** Two-term phrase with slop: base positions whose partner term appears
+    * within `slop` of the expected spot (mirrors PostingUdfs.phraseTf).
+    */
+  def phraseSlop(t1: String, t2: String, slop: Int): String =
+    prologue +
+      s""",p1 AS (SELECT doc_id, pos FROM tok WHERE w = '$t1'),
+         |p2 AS (SELECT doc_id, pos FROM tok WHERE w = '$t2'),
+         |m AS (
+         |  SELECT DISTINCT p1.doc_id, p1.pos
+         |  FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND abs(p2.pos - (p1.pos + 1)) <= $slop
+         |),
+         |ph AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM m GROUP BY 1),
          |df1 AS (SELECT count(DISTINCT doc_id)::DOUBLE AS df FROM p1),
          |df2 AS (SELECT count(DISTINCT doc_id)::DOUBLE AS df FROM p2)
          |SELECT ph.doc_id,

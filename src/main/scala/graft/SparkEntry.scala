@@ -88,6 +88,18 @@ object SparkEntry {
         (Occur.Should, TermQuery("text", "window"))))
       DocsIndex.scored(s, q).orderBy("doc_id")
     }),
+    "q_phrase_slop" -> ((sp, dir) => {
+      val s = DocsIndex.searcher(sp, dir)
+      val q = PhraseQuery("text", Seq((0, "merge"), (1, "table")), 1)
+      DocsIndex.scored(s, q).orderBy("doc_id")
+    }),
+    "q_term_nofieldnorms" -> ((sp, dir) => {
+      // per-search fieldnorms toggle: constant length 1 (reference
+      // query.proto:52 semantics)
+      val s0 = DocsIndex.searcher(sp, dir)
+      val s = new Searcher(s0.reader, s0.schema, fieldnorms = false)
+      DocsIndex.scored(s, TermQuery("text", "spark")).orderBy("doc_id")
+    }),
     "q_count" -> ((sp, dir) => {
       val s = DocsIndex.searcher(sp, dir)
       s.search(TermQuery("text", "merge")).agg(count(lit(1)).as("cnt"))
@@ -323,6 +335,8 @@ object SparkEntry {
           |       round(coalesce(a.score * 2.0, 0) + coalesce(b.score, 0), 4) AS score
           |FROM sc_a a FULL OUTER JOIN sc_b b ON a.doc_id = b.doc_id
           |ORDER BY doc_id""".stripMargin),
+    "q_phrase_slop" -> OracleSql.phraseSlop("merge", "table", 1),
+    "q_term_nofieldnorms" -> OracleSql.termQueryNoFieldnorms("spark"),
     "q_count" -> OracleSql.termCount("merge"),
     "q_range_fast" ->
       "SELECT doc_id FROM documents WHERE n_chars >= 200 AND n_chars <= 400 ORDER BY doc_id",

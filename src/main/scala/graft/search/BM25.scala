@@ -29,10 +29,22 @@ object BM25 {
   def lenCol(normId: Column): Column =
     element_at(typedLit(FieldNorm.Table.toSeq), normId + 1).cast("double")
 
-  /** BM25 score column given a per-term idf literal and field avgdl. */
-  def scoreCol(tf: Column, normId: Column, idfVal: Double, avgdl: Double): Column = {
+  /** BM25 score column given a per-term idf literal and field avgdl. With
+    * `fieldnorms = false` (the reference's per-search
+    * `is_fieldnorms_scoring_enabled=false`, `query.proto:52` /
+    * `index_holder.rs:385-389`), a constant fieldnorm of 1 replaces the
+    * per-doc length.
+    */
+  def scoreCol(
+      tf: Column,
+      normId: Column,
+      idfVal: Double,
+      avgdl: Double,
+      fieldnorms: Boolean = true
+  ): Column = {
     val tfd = tf.cast("double")
+    val len = if (fieldnorms) lenCol(normId) else lit(1.0)
     lit(idfVal) * (tfd * lit(K1 + 1)) /
-      (tfd + lit(K1) * (lit(1 - B) + lit(B) * lenCol(normId) / lit(avgdl)))
+      (tfd + lit(K1) * (lit(1 - B) + lit(B) * len / lit(avgdl)))
   }
 }

@@ -56,7 +56,12 @@ object PostingUdfs {
   * (`index_holder.rs:394-402`) maps to partition parallelism + Spark's
   * partial/final aggregation and `TakeOrderedAndProject`.
   */
-class Searcher(val reader: IndexReader, val schema: IndexSchema) {
+class Searcher(
+    val reader: IndexReader,
+    val schema: IndexSchema,
+    /** per-search fieldnorms toggle (reference `query.proto:52`) */
+    val fieldnorms: Boolean = true
+) {
   import PostingUdfs._
 
   private def spark = reader.spark
@@ -156,7 +161,7 @@ class Searcher(val reader: IndexReader, val schema: IndexSchema) {
       .select(
         col("segment_id"),
         col("p.doc_id").as("doc_id"),
-        (BM25.scoreCol(col("p.tf"), col("p.norm_id"), idf, avgdl(field)) * lit(boost)).as("score")
+        (BM25.scoreCol(col("p.tf"), col("p.norm_id"), idf, avgdl(field), fieldnorms) * lit(boost)).as("score")
       )
   }
 
@@ -201,7 +206,7 @@ class Searcher(val reader: IndexReader, val schema: IndexSchema) {
       .select(
         col("segment_id"),
         col("doc_id"),
-        BM25.scoreCol(col("phrase_tf"), col("norm_id"), sumIdf, avgdl(field)).as("score")
+        BM25.scoreCol(col("phrase_tf"), col("norm_id"), sumIdf, avgdl(field), fieldnorms).as("score")
       )
   }
 
@@ -375,7 +380,7 @@ class Searcher(val reader: IndexReader, val schema: IndexSchema) {
     // route should-only term bags through the block-max WAND pruned scan
     // (a pure optimization: result-identical, verified in tests)
     val top = WandTopK.eligible(rq) match {
-      case Some((f, terms)) if reader.deletes.isEmpty =>
+      case Some((f, terms)) if reader.deletes.isEmpty && fieldnorms =>
         WandTopK.topK(this, f, terms, offset + limit)
       case _ =>
         search(rq)
