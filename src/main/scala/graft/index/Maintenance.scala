@@ -277,6 +277,37 @@ object Maintenance {
       .toSeq
   }
 
+  /** Background-compaction analog: repeatedly apply the log merge policy
+    * over live-segment stats until no candidates remain (the reference's
+    * merge-thread loop, driver-scheduled here).
+    *
+    * @return the new segment ids created, in order
+    */
+  def autoCompact(
+      spark: SparkSession,
+      indexDir: String,
+      schema: IndexSchema,
+      buildId: String,
+      minNumSegments: Int = 8,
+      conf: IndexBuilder.BuildConf = IndexBuilder.BuildConf()
+  ): Seq[Int] = {
+    val created = Vector.newBuilder[Int]
+    var round = 0
+    var more = true
+    while (more) {
+      val stats = liveSegmentStats(spark, indexDir).map(t => (t._1, t._2))
+      val cands = logMergeCandidates(stats, minNumSegments = minNumSegments)
+      if (cands.isEmpty) more = false
+      else {
+        cands.foreach { segIds =>
+          created += mergeSegments(spark, indexDir, schema, segIds, s"$buildId/compact-$round", conf)
+        }
+        round += 1
+      }
+    }
+    created.result()
+  }
+
   /** Vacuum (W6, `index_writer_holder.rs:425-461`): merge all live,
     * non-excluded segments into one.
     */

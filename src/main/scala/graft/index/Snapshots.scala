@@ -41,6 +41,17 @@ object Snapshots {
     }
   }
 
+  /** Read a specific snapshot version (time travel). */
+  def at(spark: SparkSession, indexDir: String, version: Int): Snapshot = {
+    val f = fs(spark, indexDir)
+    val p = new Path(snapDir(indexDir), f"v$version%06d.json")
+    require(f.exists(p), s"no snapshot version $version at $indexDir")
+    val in = f.open(p)
+    val bytes = org.apache.commons.io.IOUtils.toByteArray(in)
+    in.close()
+    parse(new String(bytes, UTF_8))
+  }
+
   def commit(spark: SparkSession, indexDir: String, segments: Seq[Int], buildId: String): Snapshot = {
     val f = fs(spark, indexDir)
     val d = snapDir(indexDir)

@@ -24,10 +24,18 @@ final case class FieldStat(nDocs: Long, totalTokens: Long) {
   def avgdl: Double = if (nDocs == 0) 0.0 else totalTokens.toDouble / nDocs
 }
 
-class IndexReader(val spark: SparkSession, val indexDir: String) extends Serializable {
+class IndexReader(
+    val spark: SparkSession,
+    val indexDir: String,
+    /** pin to a specific snapshot version (time travel); None = latest */
+    val atVersion: Option[Int] = None
+) extends Serializable {
 
-  /** Live segments per the latest snapshot (None = pre-snapshot index: all). */
-  lazy val snapshot: Option[graft.index.Snapshot] = Snapshots.latest(spark, indexDir)
+  /** Live segments per the pinned snapshot (None = pre-snapshot index: all). */
+  lazy val snapshot: Option[graft.index.Snapshot] = atVersion match {
+    case Some(v) => Some(Snapshots.at(spark, indexDir, v))
+    case None    => Snapshots.latest(spark, indexDir)
+  }
 
   private def liveFilter(df: DataFrame): DataFrame = snapshot match {
     case Some(s) => df.filter(col("segment_id").isin(s.segments.map(Integer.valueOf): _*))

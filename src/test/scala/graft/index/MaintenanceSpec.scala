@@ -168,3 +168,40 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(qa == qb)
   }
 }
+
+/** Snapshot time travel + auto-compaction loop. */
+class CompactionSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+  import graft.search._
+
+  private val schema = IndexSchema(
+    "doc_id", Seq(FieldDef("text", "summa", "position")), Seq("text"))
+
+  test("autoCompact merges small segments per log policy; time travel sees old snapshots") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // 10 tiny segments via 10 incremental batches of 1 segment each
+    (0 until 10).foreach { b =>
+      val docs = (0 until 20).map(i => ((b * 100 + i).toLong, s"spark merge w$i b$b"))
+      Maintenance.addDocuments(spark, dir, schema, docs.toDF("doc_id", "text"),
+        s"b$b", Maintenance.ConflictStrategy.Overwrite,
+        IndexBuilder.BuildConf(numSegments = 1))
+    }
+    val before = Snapshots.latest(spark, dir).get
+    assert(before.segments.size == 10)
+
+    val created = Maintenance.autoCompact(spark, dir, schema, "compact",
+      minNumSegments = 4, IndexBuilder.BuildConf(numSegments = 1))
+    assert(created.nonEmpty)
+    val after = Snapshots.latest(spark, dir).get
+    assert(after.segments.size < 10)
+    val s = new Searcher(new IndexReader(spark, dir), schema)
+    assert(s.count(TermQuery("text", "spark")) == 200L)
+
+    // time travel: a reader pinned to the pre-compaction snapshot still
+    // resolves the old segment set and the same results
+    val oldReader = new IndexReader(spark, dir, atVersion = Some(before.version))
+    assert(oldReader.snapshot.get.segments == before.segments)
+    assert(new Searcher(oldReader, schema).count(TermQuery("text", "spark")) == 200L)
+  }
+}
