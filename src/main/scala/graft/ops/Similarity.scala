@@ -86,6 +86,54 @@ object Similarity {
     cosineTopK(df.filter(tableConds.reduce(_ || _)), idCol, vecCol, query, k)
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer assigns every vector
+    * to its nearest centroid; a query scans only the `nprobe` nearest
+    * centroid lists (exact cosine within). At 100 TB the assigned table is
+    * written partitioned by `centroid_id`, so a probe is a partition-pruned
+    * scan; centroids are trained once on a sample and broadcast.
+    */
+  final case class IvfIndex(centroids: Array[Array[Double]], assigned: DataFrame)
+
+  def ivfBuild(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nLists: Int,
+      seed: Long = 42L,
+      maxIter: Int = 10
+  ): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = df.select(
+      col(idCol).as("id"),
+      asDouble(col(vecCol)).as("v"),
+      array_to_vector(asDouble(col(vecCol))).as("features"))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter).fit(feat)
+    val centroids = model.clusterCenters.map(_.toArray)
+    val assigned = model
+      .transform(feat)
+      .select(col("id"), col("v"), col("prediction").as("centroid_id"))
+    IvfIndex(centroids, assigned)
+  }
+
+  def ivfTopK(ivf: IvfIndex, query: Array[Double], k: Int, nprobe: Int = 2): DataFrame = {
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    def dist2(c: Array[Double]): Double =
+      c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
+    val probes = ivf.centroids.zipWithIndex
+      .sortBy { case (c, _) => dist2(c) }
+      .take(nprobe)
+      .map(_._2)
+    val qc = typedLit(query.toSeq)
+    ivf.assigned
+      .filter(col("centroid_id").isin(probes.map(Integer.valueOf): _*))
+      .select(
+        col("id").as("vec_id"),
+        round(dot(col("v"), qc) / (norm(col("v")) * lit(qn)), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Scale path for embedding near-dup pairs: bucket by hyperplane signature
     * and compare only within buckets (+ the hamming-1 union for recall).
     */

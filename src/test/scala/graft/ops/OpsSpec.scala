@@ -157,3 +157,37 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.MediaCodec.decode(dec)._2 == 8)
   }
 }
+
+/** IVF ANN: k-means coarse quantizer + nprobe search. */
+class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  test("IVF recalls planted-cluster neighbors and self-match on real embeddings") {
+    val rnd = new scala.util.Random(19)
+    val dim = 16
+    def unit(v: Array[Double]) = { val n = math.sqrt(v.map(x => x*x).sum); v.map(_/n) }
+    val rows = for {
+      c <- 0 until 30
+      center = unit(Array.fill(dim)(rnd.nextGaussian()))
+      m <- 0 until 8
+    } yield ((c * 10 + m).toLong, unit(center.map(_ + rnd.nextGaussian() * 0.06)).map(_.toFloat).toSeq)
+    val df = rows.toDF("vec_id", "embedding")
+    val ivf = Similarity.ivfBuild(df, "vec_id", "embedding", nLists = 12, seed = 7)
+    assert(ivf.centroids.length == 12)
+
+    val q = rows.find(_._1 == 150L).get._2.map(_.toDouble).toArray
+    val exact = Similarity.cosineTopK(df, "vec_id", "embedding", q, 8)
+      .collect().map(_.getLong(0)).toSet
+    val got = Similarity.ivfTopK(ivf, q, 8, nprobe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert((exact intersect got).size >= 6, s"IVF recall too low: ${(exact intersect got).size}/8")
+
+    // real embeddings smoke: self-match always recalled with enough probes
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ivf2 = Similarity.ivfBuild(emb, "vec_id", "embedding", nLists = 8, seed = 7)
+    val q2 = emb.filter($"vec_id" === 3).select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
+    val top = Similarity.ivfTopK(ivf2, q2, 5, nprobe = 1).collect()
+    assert(top.head.getLong(0) == 3L && top.head.getDouble(1) == 1.0)
+  }
+}
