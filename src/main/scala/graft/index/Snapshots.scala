@@ -52,19 +52,37 @@ object Snapshots {
     parse(new String(bytes, UTF_8))
   }
 
+  /** Publish the next snapshot version. The destination file is created with
+    * exclusive semantics (`create(dst, overwrite = false)` — atomic on HDFS,
+    * O_EXCL-backed on local FS), so two concurrent committers that compute
+    * the same next version cannot silently overwrite each other: the loser
+    * gets an exception and retries with the following version. The index is
+    * still single-logical-writer (concurrent committers must not retire each
+    * other's segments); this only makes version allocation safe.
+    */
   def commit(spark: SparkSession, indexDir: String, segments: Seq[Int], buildId: String): Snapshot = {
     val f = fs(spark, indexDir)
     val d = snapDir(indexDir)
     f.mkdirs(d)
-    val next = latest(spark, indexDir).map(_.version + 1).getOrElse(1)
-    val snap = Snapshot(next, segments.sorted, buildId, System.currentTimeMillis())
-    val tmp = new Path(d, f"v$next%06d.json.tmp")
-    val dst = new Path(d, f"v$next%06d.json")
-    val out = f.create(tmp, true)
-    out.write(render(snap).getBytes(UTF_8))
-    out.close()
-    require(f.rename(tmp, dst), s"snapshot commit failed: $dst")
-    snap
+    var next = latest(spark, indexDir).map(_.version + 1).getOrElse(1)
+    var committed: Option[Snapshot] = None
+    var attempts = 0
+    while (committed.isEmpty) {
+      val snap = Snapshot(next, segments.sorted, buildId, System.currentTimeMillis())
+      val dst = new Path(d, f"v$next%06d.json")
+      try {
+        val out = f.create(dst, false) // exclusive: throws if version exists
+        out.write(render(snap).getBytes(UTF_8))
+        out.close()
+        committed = Some(snap)
+      } catch {
+        case e: java.io.IOException =>
+          attempts += 1
+          require(attempts < 1000, s"snapshot commit failed after $attempts attempts: $e")
+          next += 1 // lost the version race — try the next slot
+      }
+    }
+    committed.get
   }
 
   private def render(s: Snapshot): String =

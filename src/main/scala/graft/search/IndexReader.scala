@@ -53,8 +53,13 @@ class IndexReader(
   lazy val deletes: Option[DataFrame] = {
     val p = new Path(s"$indexDir/deletes")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-      Some(spark.read.parquet(s"$indexDir/deletes").select("segment_id", "doc_id").distinct())
+    // tombstones are hive-partitioned by segment_id; after a merge clears
+    // every partition the root may hold only a _SUCCESS marker — treat that
+    // as tombstone-free
+    if (fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("segment_id=")))
+      Some(spark.read.parquet(s"$indexDir/deletes")
+        .select(col("segment_id").cast("int").as("segment_id"), col("doc_id"))
+        .distinct())
     else None
   }
 

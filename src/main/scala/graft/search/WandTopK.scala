@@ -88,7 +88,10 @@ object WandTopK {
         group.foreach { r =>
           ub += score(idf(r.getString(0)), r.getInt(4).toDouble, r.getInt(5))
         }
-        if (ub > threshold) {
+        // decode on ub >= threshold: a block whose bound exactly ties the
+        // kth score may hold a doc that wins the (segment, doc) tiebreak —
+        // prune only on strict inferiority to stay result-identical
+        if (ub >= threshold) {
           // decode + merge the group's postings by docId
           val acc = new java.util.TreeMap[Integer, java.lang.Double]()
           group.foreach { r =>
@@ -127,7 +130,10 @@ object WandTopK {
     case TermQuery(f, t) => Some((f, Seq(t)))
     case BooleanQuery(clauses, msm) if msm.forall(_ <= 1) =>
       val terms = clauses.collect { case (Occur.Should, TermQuery(f, t)) => (f, t) }
-      if (terms.size == clauses.size && terms.map(_._1).distinct.size == 1)
+      // repeated terms must fall back to the exhaustive plan: it sums the
+      // duplicate clause twice, while WAND's idf map scores each term once
+      if (terms.size == clauses.size && terms.map(_._1).distinct.size == 1 &&
+        terms.distinct.size == terms.size)
         Some((terms.head._1, terms.map(_._2)))
       else None
     case _ => None
