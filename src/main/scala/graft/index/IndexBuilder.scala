@@ -37,7 +37,7 @@ import graft.analysis.Analyzers
   *   postings/segment_id=N/   packed posting blocks, term-sorted
   *   termstats/segment_id=N/  (field, term, df, total_tf) per segment
   *   fieldstats/segment_id=N/ (field, n_docs, total_tokens) per segment
-  *   deletes/                 tombstones (segment_id, doc_id), cleared by merges
+  *   deletes/segment_id=N/    tombstone doc_ids; merges drop whole partitions
   *   metrics/                 append-only lineage: one row per (build_id, segment_id)
   *   _snapshots/vNNNNNN.json  live-segment snapshot versions
   * }}}
@@ -50,6 +50,9 @@ object IndexBuilder {
       buildPartitions: Int = 0, // 0 = spark.sql.shuffle.partitions
       persist: StorageLevel = StorageLevel.MEMORY_AND_DISK
   )
+
+  /** Per-segment doc/token totals observed during the docs write. */
+  final case class SegStat(segmentId: Int, nDocs: Long, tokensByField: Map[String, Long])
 
   /** Per-term group inside one document field. */
   final case class TermGroup(term: String, tf: Int, positions: Array[Int])
@@ -263,7 +266,7 @@ object IndexBuilder {
       !needed.exists(Set("doc_id", "segment_id", "key", "__key").contains),
       "reserved column name in schema fields: doc_id/segment_id/key")
     val keyed = pages
-      .select((col(schema.keyField).cast(StringType).as("__key") +: needed.map(col)): _*)
+      .select((schema.keyColumn.as("__key") +: needed.map(col)): _*)
       .withColumn(
         "segment_id",
         (lit(segOffset) + pmod(xxhash64(col("__key")), lit(conf.numSegments))).cast(IntegerType))
@@ -273,7 +276,9 @@ object IndexBuilder {
     // groups (and stored fields) but NOT the raw indexed text
     val tokUdfs = schema.fields.map { f =>
       val an = f.analyzer
-      f.name -> udf((s: String) => analyzeField(an, s))
+      f.name -> (
+        if (f.fieldType == "json") udf((s: String) => JsonField.analyzeJson(an, s))
+        else udf((s: String) => analyzeField(an, s)))
     }.toMap
     val keepCols =
       Seq(col("segment_id"), col("__key")) ++
@@ -301,14 +306,37 @@ object IndexBuilder {
             col(s"__tok_${f.name}.len").as(s"len_${f.name}"),
             col(s"__tok_${f.name}.norm").as(s"norm_${f.name}")))): _*
     )
+    // per-segment doc counts + token totals are OBSERVED during the write
+    // job itself (CollectMetrics) — a separate aggregation job re-scanned
+    // the cached tokens and added a serial job to the driver-coordinated
+    // tail, the part that caps N→4N scaling
+    val segIds = (segOffset until segOffset + conf.numSegments).toSeq
+    val obsAggs: Seq[org.apache.spark.sql.Column] = segIds.flatMap { s =>
+      count(when(col("segment_id") === s, 1)).as(s"n_$s") +:
+        schema.fields.map(f =>
+          sum(when(col("segment_id") === s, col(s"len_${f.name}"))).as(s"tt_${s}_${f.name}"))
+    }
+    val obs = org.apache.spark.sql.Observation()
+    // 16k-row output chunks: file count still scales with DATA (not cores),
+    // but the write stage keeps every core busy — 64k-row chunks gave a
+    // 5-task write that idled 3 of 8 cores and cost ~0.2 scaling efficiency
     timed("docs-write")(docsDf
-      .repartitionByRange(outParts(65536), col("segment_id"), col("doc_id"))
+      .observe(obs, obsAggs.head, obsAggs.tail: _*)
+      .repartitionByRange(outParts(16384), col("segment_id"), col("doc_id"))
       .sortWithinPartitions("segment_id", "doc_id")
       .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("segment_id")
       .parquet(s"$indexDir/docs"))
+    val obsRow = obs.get
+    val segStats: Seq[SegStat] = segIds.flatMap { s =>
+      val n = obsRow(s"n_$s").asInstanceOf[Long]
+      if (n == 0) None
+      else Some(SegStat(s, n,
+        schema.fields.map(f =>
+          f.name -> Option(obsRow(s"tt_${s}_${f.name}")).fold(0L)(_.asInstanceOf[Long])).toMap))
+    }
 
     // ---- posting blocks ----
     val tokensPerField = schema.fields.map { f =>
@@ -333,94 +361,110 @@ object IndexBuilder {
     val tokens = tokensPerField.reduce(_ unionByName _)
     val recordPositions = schema.fields.map(f => f.name -> (f.record == "position")).toMap
 
-    timed("postings-pack-write")(packPostings(tokens, conf.blockBits, parts, recordPositions).write
+    // the packed blocks are persisted once and reused for the stats pass —
+    // re-reading the freshly written parquet cost a fixed ~2 s per build
+    // (file commit + listing + decode), pure overhead at high parallelism
+    val packed = packPostings(tokens, conf.blockBits, parts, recordPositions)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    timed("postings-pack-write")(packed.write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("segment_id")
       .parquet(s"$indexDir/postings"))
 
-    timed("stats+metrics")(writeStats(spark, schema, indexDir, buildId, segOffset, conf.numSegments,
-      outParts(4096), mergeDepth, parentSegments))
+    val segs = timed("stats+metrics")(writeStats(spark, schema, indexDir, buildId, packed,
+      segStats, outParts(4096), mergeDepth, parentSegments))
 
+    packed.unpersist()
     sortedHandle.unpersist()
-
-    spark.read.parquet(s"$indexDir/docs")
-      .filter(col("segment_id") >= segOffset && col("segment_id") < segOffset + conf.numSegments)
-      .select("segment_id").distinct().collect().map(_.getInt(0)).sorted.toSeq
+    segs
   }
 
-  /** Per-segment termstats/fieldstats from the freshly written segment data,
-    * plus an append-only metrics lineage row per segment.
+  /** Per-segment termstats/fieldstats from the just-built (still cached)
+    * postings/docs DataFrames, plus an append-only metrics lineage row per
+    * segment.
+    *
+    * @return the non-empty segment ids written (from the doc-count agg — no
+    *         extra read of the docs table)
     */
   private def writeStats(
       spark: SparkSession,
       schema: IndexSchema,
       indexDir: String,
       buildId: String,
-      segOffset: Int,
-      numSegments: Int,
+      postingsRead: DataFrame,
+      segStats: Seq[SegStat],
       statParts: Int,
       mergeDepth: Int,
       parentSegments: Seq[Int]
-  ): Unit = {
-    val inRange =
-      col("segment_id") >= segOffset && col("segment_id") < segOffset + numSegments
-    val postingsRead = spark.read.parquet(s"$indexDir/postings").filter(inRange)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val docsRead = spark.read.parquet(s"$indexDir/docs").filter(inRange)
-
-    postingsRead
+  ): Seq[Int] = {
+    // ONE pass over the packed blocks feeds both the termstats table and the
+    // per-segment metrics aggregates (the term-level result is orders of
+    // magnitude smaller than the blocks, so the second-level agg is ~free)
+    val termLevel = postingsRead
       .groupBy("segment_id", "field", "term")
-      .agg(sum("doc_count").cast(LongType).as("df"), sum("sum_tf").as("total_tf"))
-      .repartitionByRange(statParts, col("segment_id"), col("field"), col("term"))
-      .sortWithinPartitions("segment_id", "field", "term")
-      .write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("segment_id")
-      .parquet(s"$indexDir/termstats")
+      .agg(
+        sum("doc_count").cast(LongType).as("df"),
+        sum("sum_tf").as("total_tf"),
+        sum("posting_bytes").as("pb"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // one pass over docs drives fieldstats AND the metrics doc counts; the
-    // per-segment aggregates are tiny, so metrics rows assemble driver-side
-    // (no join job)
-    val statAggs = schema.fields.map(f => sum(col(s"len_${f.name}")).as(s"tt_${f.name}"))
-    val segStats = docsRead
-      .groupBy("segment_id")
-      .agg(count(lit(1)).as("n_docs"), statAggs: _*)
-      .collect()
-    val fsRows = segStats.flatMap { r =>
+    // the termstats write and the docs aggregation are independent — run
+    // them as CONCURRENT Spark jobs so this driver-coordinated tail doesn't
+    // serialize (it was the worst-scaling phase: 0.44 efficiency 2c→8c)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val termstatsJob = Future {
+      termLevel
+        .select("segment_id", "field", "term", "df", "total_tf")
+        .repartitionByRange(statParts, col("segment_id"), col("field"), col("term"))
+        .sortWithinPartitions("segment_id", "field", "term")
+        .write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("segment_id")
+        .parquet(s"$indexDir/termstats")
+    }
+
+    // fieldstats + metrics rows assemble driver-side from the stats observed
+    // during the docs write — no extra aggregation job
+    val fsRows = segStats.flatMap { st =>
       schema.fields.map(f =>
-        Row(f.name, r.getAs[Long]("n_docs"), r.getAs[Long](s"tt_${f.name}"),
-          r.getAs[Int]("segment_id")))
+        Row(f.name, st.nDocs, st.tokensByField(f.name), st.segmentId))
     }
     val fsSchema = StructType(Seq(
       StructField("field", StringType, false),
       StructField("n_docs", LongType, false),
       StructField("total_tokens", LongType, true),
       StructField("segment_id", IntegerType, false)))
-    spark
-      .createDataFrame(spark.sparkContext.parallelize(fsRows.toSeq, 1), fsSchema)
-      .write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("segment_id")
-      .parquet(s"$indexDir/fieldstats")
+    val fieldstatsJob = Future {
+      spark
+        .createDataFrame(spark.sparkContext.parallelize(fsRows.toSeq, 1), fsSchema)
+        .write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("segment_id")
+        .parquet(s"$indexDir/fieldstats")
+    }
 
     // ---- per-segment metrics (north-rule lineage table) ----
-    val segPostings = postingsRead
-      .groupBy("segment_id")
-      .agg(
-        sum("posting_bytes").as("posting_bytes"),
-        countDistinct("field", "term").as("num_terms"))
-      .collect()
-      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
-      .toMap
+    // the tiny per-segment agg over the cached term-level stats runs
+    // concurrently with the termstats/fieldstats write jobs
+    val segPostingsJob = Future {
+      termLevel
+        .groupBy("segment_id")
+        .agg(sum("pb").as("posting_bytes"), count(lit(1)).as("num_terms"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    }
+    val segPostings = Await.result(segPostingsJob, Duration.Inf)
     val now = new java.sql.Timestamp(System.currentTimeMillis())
     val parents = parentSegments.map(_.toString).toArray
-    val metricRows = segStats.map { r =>
-      val seg = r.getAs[Int]("segment_id")
-      val (bytes, terms) = segPostings.getOrElse(seg, (0L, 0L))
-      Row(buildId, seg, r.getAs[Long]("n_docs"), terms, bytes, mergeDepth, parents, now)
+    val metricRows = segStats.map { st =>
+      val (bytes, terms) = segPostings.getOrElse(st.segmentId, (0L, 0L))
+      Row(buildId, st.segmentId, st.nDocs, terms, bytes, mergeDepth, parents, now)
     }
     val mSchema = StructType(Seq(
       StructField("build_id", StringType, false),
@@ -436,7 +480,10 @@ object IndexBuilder {
       .write
       .mode("append")
       .parquet(s"$indexDir/metrics")
-    postingsRead.unpersist()
+    Await.result(termstatsJob, Duration.Inf)
+    Await.result(fieldstatsJob, Duration.Inf)
+    termLevel.unpersist()
+    segStats.map(_.segmentId).sorted
   }
 
   /** Fresh full build: build all segments from `pages` and publish snapshot

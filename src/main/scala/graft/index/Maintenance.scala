@@ -6,6 +6,12 @@ import org.apache.spark.sql.functions._
 
 import graft.search.IndexReader
 
+/** Decoded posting entry with optional positions (top-level: Janino codegen
+  * cannot construct deeply nested case classes — a `Maintenance$FullEntry`
+  * fell back to interpreted projections on every merge).
+  */
+final case class FullEntry(doc_id: Int, tf: Int, norm_id: Int, positions: Array[Int])
+
 /** Index maintenance: segment merges, merge policies, vacuum, delete-by-set,
   * incremental upsert ingestion — the write-path operators W1–W9 of
   * SURVEY.md §2.7 (reference:
@@ -13,9 +19,6 @@ import graft.search.IndexReader
   * and the merge_policies module).
   */
 object Maintenance {
-
-  /** Decoded posting entry with optional positions. */
-  private final case class FullEntry(doc_id: Int, tf: Int, norm_id: Int, positions: Array[Int])
 
   private val unpackFull: UserDefinedFunction =
     udf((docIds: Array[Byte], tfs: Array[Byte], norms: Array[Byte], pos: Array[Byte], n: Int) => {
@@ -114,11 +117,16 @@ object Maintenance {
     writeSegmentStats(spark, indexDir, schema, newSeg, buildId, parentDepth + 1,
       segIds, parts)
 
-    // 4. tombstones of merged segments are now baked in — drop them
-    clearDeletes(spark, indexDir, segIds)
-
-    // 5. atomic publish
+    // 4. atomic publish FIRST: the new snapshot retires the merged segments.
+    //    Only then drop their tombstones — if the clear fails or a reader
+    //    races between the steps, stale tombstones on retired segments are
+    //    harmless (old-snapshot readers still see them; new-snapshot readers
+    //    never touch the retired segments), whereas clearing before the
+    //    publish would let a crash resurrect deleted docs.
     Snapshots.commit(spark, indexDir, live.filterNot(segIds.contains) :+ newSeg, buildId)
+
+    // 5. tombstones of merged segments are baked into the new segment — drop
+    clearDeletes(spark, indexDir, segIds)
     newSeg
   }
 
@@ -185,26 +193,24 @@ object Maintenance {
   def deleteDocs(spark: SparkSession, indexDir: String, hits: DataFrame): Long = {
     val rows = hits.select("segment_id", "doc_id").distinct().persist()
     val n = rows.count()
-    if (n > 0) rows.write.mode("append").parquet(s"$indexDir/deletes")
+    // tombstones are hive-partitioned by segment_id so that retiring a
+    // merged segment's deletes is a metadata-only partition drop — no
+    // driver-side collect, scales to arbitrary delete volumes
+    if (n > 0) rows.write.mode("append").partitionBy("segment_id").parquet(s"$indexDir/deletes")
     rows.unpersist()
     n
   }
 
-  /** Rewrite the deletes table without the given segments' tombstones. */
+  /** Drop the given segments' tombstone partitions (pure FS metadata ops;
+    * tombstones of other segments are untouched — no table rewrite).
+    */
   private def clearDeletes(spark: SparkSession, indexDir: String, segIds: Seq[Int]): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexDir/deletes")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return
-    val remaining = spark.read.parquet(s"$indexDir/deletes")
-      .filter(!col("segment_id").isin(segIds.map(Integer.valueOf): _*))
-      .collect()
-    fs.delete(p, true)
-    if (remaining.nonEmpty) {
-      import org.apache.spark.sql.types._
-      val sch = StructType(Seq(
-        StructField("segment_id", IntegerType), StructField("doc_id", IntegerType)))
-      spark.createDataFrame(spark.sparkContext.parallelize(remaining.toSeq, 1), sch)
-        .write.mode("overwrite").parquet(s"$indexDir/deletes")
+    val root = new org.apache.hadoop.fs.Path(s"$indexDir/deletes")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    segIds.foreach { s =>
+      val p = new org.apache.hadoop.fs.Path(root, s"segment_id=$s")
+      if (fs.exists(p)) fs.delete(p, true)
     }
   }
 
@@ -360,7 +366,7 @@ object Maintenance {
     val toIndex = if (live.isEmpty) newDocs
     else {
       val incomingKeys = newDocs
-        .select(col(schema.keyField).cast("string").as("key")).distinct()
+        .select(schema.keyColumn.as("key")).distinct()
       strategy match {
         case ConflictStrategy.Overwrite =>
           // tombstone every live doc sharing a key with the incoming batch
@@ -373,7 +379,7 @@ object Maintenance {
           val existing = reader.docs.select(col("key")).distinct()
           newDocs.join(
             existing.withColumnRenamed("key", "__existing_key"),
-            col(schema.keyField).cast("string") === col("__existing_key"),
+            schema.keyColumn === col("__existing_key"),
             "left_anti")
       }
     }
