@@ -28,6 +28,28 @@ object DocsIndex {
       }
     )
 
+  private val jsonCache = TrieMap[String, Searcher]()
+
+  /** Index over documents + a synthesized `metadata` json column
+    * `{"id": doc_id, "year": 2000 + doc_id % 25, "tag": source}` — the
+    * dotted-path query substrate; oracles recompute from the raw columns.
+    */
+  def jsonSearcher(spark: SparkSession, sfDir: String): Searcher =
+    jsonCache.getOrElseUpdate(
+      sfDir, {
+        val dir = Files.createTempDirectory("graft-docs-json-index").toString
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .withColumn("metadata", to_json(struct(
+            col("doc_id").cast("long").as("id"),
+            (lit(2000) + col("doc_id") % 25).cast("long").as("year"),
+            col("source").as("tag"))))
+        IndexBuilder.build(
+          spark, docs, IndexSchema.documentsJson, dir, s"docs-json@$sfDir",
+          IndexBuilder.BuildConf(numSegments = 4))
+        new Searcher(new IndexReader(spark, dir), IndexSchema.documentsJson)
+      }
+    )
+
   /** Scored hits joined back to the original doc key: (doc_id, score rounded
     * to 4 decimals — the driver-compare contract shared with the oracle SQL).
     */

@@ -20,13 +20,41 @@ final case class IndexSchema(
     storedFields: Seq[String] = Nil
 ) {
   def field(name: String): Option[FieldDef] = fields.find(_.name == name)
+
+  /** Dotted-path key fields (`unique_fields: ["metadata.id"]`,
+    * reference `index_holder.rs:1040-1111`) extract a TYPED leaf value from
+    * the json column; plain column keys cast to string.
+    */
+  def keyColumn: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val jsonBase = fields.find(f =>
+      f.fieldType == "json" && keyField.startsWith(f.name + "."))
+    jsonBase match {
+      case Some(f) =>
+        val path = keyField.stripPrefix(f.name + ".")
+        udf((s: String) => JsonField.typedKey(s, path)).apply(col(f.name))
+      case None =>
+        col(keyField).cast(org.apache.spark.sql.types.StringType)
+    }
+  }
+
+  /** Source columns the key extraction reads. */
+  def keyInputColumns: Seq[String] = {
+    val jsonBase = fields.find(f =>
+      f.fieldType == "json" && keyField.startsWith(f.name + "."))
+    Seq(jsonBase.map(_.name).getOrElse(keyField))
+  }
 }
 
-/** @param record "basic" (docs only), "freq" (docs+tf), "position" (docs+tf+positions) */
+/** @param record "basic" (docs only), "freq" (docs+tf), "position" (docs+tf+positions)
+  * @param fieldType "text" (analyzed tokens) or "json" (typed dotted-path
+  *                  terms, see [[JsonField]])
+  */
 final case class FieldDef(
     name: String,
     analyzer: String = "summa",
-    record: String = "position"
+    record: String = "position",
+    fieldType: String = "text"
 )
 
 object IndexSchema {
@@ -42,6 +70,19 @@ object IndexSchema {
     ),
     defaultFields = Seq("text"),
     storedFields = Seq("warc_ts", "lang")
+  )
+
+  /** `documents` plus a synthesized `metadata` json column (driver entries
+    * exercise typed dotted-path queries against a DuckDB oracle on the raw
+    * columns the json is derived from).
+    */
+  val documentsJson: IndexSchema = IndexSchema(
+    keyField = "doc_id",
+    fields = Seq(
+      FieldDef("text", analyzer = "summa", record = "position"),
+      FieldDef("metadata", analyzer = "summa", record = "position", fieldType = "json")
+    ),
+    defaultFields = Seq("text")
   )
 
   /** Schema over the driver-generated `documents` test table. */
