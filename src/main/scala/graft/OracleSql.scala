@@ -160,6 +160,128 @@ object OracleSql {
          |JOIN qn q ON q.doc_id = ph.doc_id
          |ORDER BY ph.doc_id""".stripMargin
 
+  /** Three-term phrase with move-based slop — mirrors PostingUdfs.phraseTf
+    * (slop>0 path): a base (t1) occurrence matches iff some window
+    * [w, w+slop] of normalized positions (`pos - offset`) contains one
+    * occurrence of every term, i.e. the alignment spread max-min <= slop.
+    */
+  def phraseSlop3(t1: String, t2: String, t3: String, slop: Int): String =
+    prologue +
+      s""",p1 AS (SELECT doc_id, pos FROM tok WHERE w = '$t1'),
+         |p2 AS (SELECT doc_id, pos - 1 AS np FROM tok WHERE w = '$t2'),
+         |p3 AS (SELECT doc_id, pos - 2 AS np FROM tok WHERE w = '$t3'),
+         |m AS (
+         |  SELECT DISTINCT p1.doc_id, p1.pos
+         |  FROM p1, LATERAL (SELECT unnest(generate_series(p1.pos - $slop, p1.pos)) AS wlo) g
+         |  WHERE EXISTS (SELECT 1 FROM p2 WHERE p2.doc_id = p1.doc_id
+         |                AND p2.np BETWEEN wlo AND wlo + $slop)
+         |    AND EXISTS (SELECT 1 FROM p3 WHERE p3.doc_id = p1.doc_id
+         |                AND p3.np BETWEEN wlo AND wlo + $slop)
+         |),
+         |ph AS (SELECT doc_id, count(*)::DOUBLE AS tf FROM m GROUP BY 1),
+         |df1 AS (SELECT count(DISTINCT doc_id)::DOUBLE AS df FROM p1),
+         |df2 AS (SELECT count(DISTINCT doc_id)::DOUBLE AS df FROM p2),
+         |df3 AS (SELECT count(DISTINCT doc_id)::DOUBLE AS df FROM p3)
+         |SELECT ph.doc_id,
+         |       round(
+         |         (ln(1 + (s.n - d1.df + 0.5) / (d1.df + 0.5)) +
+         |          ln(1 + (s.n - d2.df + 0.5) / (d2.df + 0.5)) +
+         |          ln(1 + (s.n - d3.df + 0.5) / (d3.df + 0.5))) *
+         |         (ph.tf * (1.2 + 1)) / (ph.tf + 1.2 * ((1 - 0.75) + 0.75 * q.qlen / s.avgdl)), 4) AS score
+         |FROM ph, df1 d1, df2 d2, df3 d3, stats s
+         |JOIN qn q ON q.doc_id = ph.doc_id
+         |ORDER BY ph.doc_id""".stripMargin
+
+  /** MoreLikeThis — mirrors Searcher.expandMoreLikeThis for the seed doc 0:
+    * candidate terms of the seed with tf >= minTf, ranked by tf*idf (top
+    * `maxTerms`, ties by term asc), then scored as a should-boolean of
+    * TermQueries (sum of per-term BM25).
+    */
+  def moreLikeThis(seedDocId: Long, minTf: Int, maxTerms: Int, k: Int): String =
+    prologue +
+      s""",cand AS (
+         |  SELECT w, count(*)::DOUBLE AS tf
+         |  FROM ftok WHERE doc_id = $seedDocId
+         |  GROUP BY w HAVING count(*) >= $minTf
+         |),
+         |cdf AS (
+         |  SELECT c.w, c.tf,
+         |         (SELECT count(DISTINCT f.doc_id) FROM ftok f WHERE f.w = c.w)::DOUBLE AS df
+         |  FROM cand c
+         |),
+         |exp AS (
+         |  SELECT w, df
+         |  FROM cdf, stats s
+         |  WHERE df >= 1
+         |  ORDER BY tf * ln(1 + (s.n - df + 0.5) / (df + 0.5)) DESC, w ASC
+         |  LIMIT $maxTerms
+         |),
+         |tfq AS (
+         |  SELECT f.doc_id, f.w, count(*)::DOUBLE AS tf
+         |  FROM ftok f JOIN exp e ON e.w = f.w
+         |  GROUP BY 1, 2
+         |),
+         |sc AS (
+         |  SELECT t.doc_id,
+         |         sum(ln(1 + (s.n - e.df + 0.5) / (e.df + 0.5)) *
+         |             (t.tf * (1.2 + 1)) /
+         |             (t.tf + 1.2 * ((1 - 0.75) + 0.75 * q.qlen / s.avgdl))) AS score
+         |  FROM tfq t
+         |  JOIN exp e ON e.w = t.w, stats s
+         |  JOIN qn q ON q.doc_id = t.doc_id
+         |  GROUP BY t.doc_id
+         |)
+         |SELECT doc_id, round(score, 4) AS score FROM sc
+         |ORDER BY round(score, 4) DESC, doc_id LIMIT $k""".stripMargin
+
+  /** Snippets — mirrors Snippets.generate over the rounded-score top-k of a
+    * term query: best <=maxChars-byte token window (most query-term matches,
+    * earliest wins), matched tokens <b>-wrapped; text is single-space ASCII
+    * so byte offsets are reconstructible from word lengths. Window endpoints
+    * iterate the stop-filtered token stream (analyzer output) while the
+    * fragment keeps the stop words lying inside the span.
+    */
+  def snippets(term: String, k: Int, maxChars: Int): String =
+    prologue + termScoreCte(term, "t") +
+      s""",topk AS (
+         |  SELECT doc_id FROM sc_t
+         |  ORDER BY round(score, 4) DESC, doc_id LIMIT $k
+         |),
+         |offs AS (
+         |  SELECT t.doc_id, t.w, t.pos,
+         |         coalesce(sum(length(t.w) + 1) OVER (
+         |           PARTITION BY t.doc_id ORDER BY t.pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off_from
+         |  FROM tok t JOIN topk u ON u.doc_id = t.doc_id
+         |),
+         |allw AS (
+         |  SELECT doc_id, w, pos, off_from, off_from + length(w) AS off_to FROM offs
+         |),
+         |ft AS (
+         |  SELECT doc_id, w, pos, off_from, off_to, (w = '$term') AS m
+         |  FROM allw WHERE w NOT IN ($stopList)
+         |),
+         |win AS (
+         |  SELECT lo.doc_id, lo.pos AS lo_pos, max(hi.pos) AS hi_pos,
+         |         count(CASE WHEN hi.m THEN 1 END) AS cnt
+         |  FROM ft lo JOIN ft hi ON hi.doc_id = lo.doc_id AND hi.pos >= lo.pos
+         |       AND hi.off_to - lo.off_from <= $maxChars
+         |  GROUP BY 1, 2
+         |),
+         |best AS (
+         |  SELECT doc_id, lo_pos, hi_pos,
+         |         row_number() OVER (PARTITION BY doc_id
+         |                            ORDER BY cnt DESC, lo_pos ASC) AS rn
+         |  FROM win
+         |)
+         |SELECT b.doc_id,
+         |       string_agg(CASE WHEN a.w = '$term' THEN '<b>' || a.w || '</b>' ELSE a.w END,
+         |                  ' ' ORDER BY a.pos) AS snippet
+         |FROM best b JOIN allw a ON a.doc_id = b.doc_id AND a.pos BETWEEN b.lo_pos AND b.hi_pos
+         |WHERE b.rn = 1
+         |GROUP BY b.doc_id
+         |ORDER BY b.doc_id""".stripMargin
+
   def termCount(term: String): String =
     prologue + s"\nSELECT count(DISTINCT doc_id) AS cnt FROM ftok WHERE w = '$term'"
 
@@ -228,6 +350,44 @@ object OracleSql {
        |         ((length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE /
        |          length(text)) * 0.3, 4) AS quality
        |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Multimodal feature extraction over the deterministic fake codec —
+    * mirrors Multimodal.{withFakeMedia, MediaCodec}: the payload is 64 bytes
+    * of a 64-bit LCG (`s = s*6364136223846793005 + 1442695040888963407`,
+    * byte = top 8 bits) seeded by doc_id; features[j] = sum of payload bytes
+    * at positions ≡ j (mod 8), each /255.0, divided by 8 — emulated in
+    * DuckDB with HUGEINT arithmetic mod 2^64.
+    */
+  def multimodalFeatures: String =
+    """WITH RECURSIVE lcg(id, i, s) AS (
+      |  SELECT doc_id AS id, 0 AS i, doc_id::HUGEINT AS s FROM documents
+      |  UNION ALL
+      |  SELECT id, i + 1,
+      |         (s * 6364136223846793005::HUGEINT + 1442695040888963407::HUGEINT)
+      |           % 18446744073709551616::HUGEINT
+      |  FROM lcg WHERE i < 64
+      |),
+      |b AS (
+      |  SELECT id, i - 1 AS pi, (s // 72057594037927936::HUGEINT)::BIGINT AS byte
+      |  FROM lcg WHERE i >= 1
+      |),
+      |f AS (
+      |  SELECT id, pi % 8 AS dim, sum(byte / 255.0) / 8.0 AS v
+      |  FROM b GROUP BY 1, 2
+      |)
+      |SELECT id,
+      |       CASE id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |       (32 + (id % 8) * 16)::INT AS width,
+      |       (32 + (id % 5) * 16)::INT AS height,
+      |       round(max(CASE WHEN dim = 0 THEN v END), 4) AS f0,
+      |       round(max(CASE WHEN dim = 1 THEN v END), 4) AS f1,
+      |       round(max(CASE WHEN dim = 2 THEN v END), 4) AS f2,
+      |       round(max(CASE WHEN dim = 3 THEN v END), 4) AS f3,
+      |       round(max(CASE WHEN dim = 4 THEN v END), 4) AS f4,
+      |       round(max(CASE WHEN dim = 5 THEN v END), 4) AS f5,
+      |       round(max(CASE WHEN dim = 6 THEN v END), 4) AS f6,
+      |       round(max(CASE WHEN dim = 7 THEN v END), 4) AS f7
+      |FROM f GROUP BY id ORDER BY id""".stripMargin
 
   /** SummaQL `t1 -neg t2`: should(t1)+should(t2) excluding neg. */
   def matchShouldShouldNot(t1: String, t2: String, neg: String): String =

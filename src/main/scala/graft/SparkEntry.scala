@@ -93,6 +93,13 @@ object SparkEntry {
       val q = PhraseQuery("text", Seq((0, "merge"), (1, "table")), 1)
       DocsIndex.scored(s, q).orderBy("doc_id")
     }),
+    "q_phrase_slop3" -> ((sp, dir) => {
+      // 3-term move-based slop (alignment spread <= slop) — distinguishes
+      // Lucene matchLength semantics from a per-term window approximation
+      val s = DocsIndex.searcher(sp, dir)
+      val q = PhraseQuery("text", Seq((0, "table"), (1, "value"), (2, "part")), 2)
+      DocsIndex.scored(s, q).orderBy("doc_id")
+    }),
     "q_term_nofieldnorms" -> ((sp, dir) => {
       // per-search fieldnorms toggle: constant length 1 (reference
       // query.proto:52 semantics)
@@ -115,6 +122,18 @@ object SparkEntry {
     "q_match_ql" -> ((sp, dir) => {
       val s = DocsIndex.searcher(sp, dir)
       DocsIndex.scored(s, MatchQuery("spark -window batch")).orderBy("doc_id")
+    }),
+
+    // ---- json field: typed dotted-path queries (reference test_json) ----
+    "q_json_term" -> ((sp, dir) => {
+      // str-typed path term through the analyzer (metadata.tag:src3)
+      val s = DocsIndex.jsonSearcher(sp, dir)
+      DocsIndex.matchedIds(s, MatchQuery("metadata.tag:src3")).orderBy("doc_id")
+    }),
+    "q_json_range" -> ((sp, dir) => {
+      // sortable-i64 term range over a json numeric path
+      val s = DocsIndex.jsonSearcher(sp, dir)
+      DocsIndex.matchedIds(s, MatchQuery("metadata.year:[2010 TO 2014]")).orderBy("doc_id")
     }),
 
     // ---- collector analogs over the relational test tables (C2/C5/C6) ----
@@ -196,7 +215,8 @@ object SparkEntry {
       sample.toSeq.toDF("segment_id", "doc_id").orderBy("segment_id", "doc_id")
     }),
     "q_mlt" -> ((sp, dir) => {
-      // rows-only: MoreLikeThis expansion; semantics tested in CollectorsSpec
+      // MoreLikeThis: deterministic tf*idf expansion of doc 0's text into a
+      // should-boolean, BM25-scored — oracle mirrors the expansion in SQL
       val s = DocsIndex.searcher(sp, dir)
       val seedText = sp.read.parquet(s"$dir/documents.parquet")
         .filter(col("doc_id") === 0).select("text").head().getString(0)
@@ -206,11 +226,13 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id").asc).limit(10)
     }),
     "q_snippets" -> ((sp, dir) => {
-      // rows-only: deterministic snippet strings over the top-5 hits
+      // deterministic snippet strings over the rounded-score top-5 hits
+      // (rounded-score + key tie-break so the doc selection is engine-neutral)
       val s = DocsIndex.searcher(sp, dir)
-      val top = s.topDocsWithKeys(TermQuery("text", "vector"), 5)
-        .select(col("key").cast("long").as("doc_id"))
-      val docs = sp.read.parquet(s"$dir/documents.parquet").join(top, "doc_id")
+      val top = DocsIndex.scored(s, TermQuery("text", "vector"))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(5)
+      val docs = sp.read.parquet(s"$dir/documents.parquet")
+        .join(top.select("doc_id"), "doc_id")
       val snip = udf((t: String) =>
         Snippets.generate(t, Set("vector"), graft.analysis.Analyzers.summa, 80).toHtml)
       docs.select(col("doc_id"), snip(col("text")).as("snippet")).orderBy("doc_id")
@@ -277,11 +299,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q_multimodal_features" -> ((sp, dir) => {
-      // rows-only: binary decode/feature plumbing over a deterministic
-      // fake codec (real codecs don't ship in this container)
+      // binary decode/feature plumbing over a deterministic fake codec (real
+      // codecs don't ship in this container); flattened to scalar columns so
+      // the driver compare can sort/hash them, oracle emulates the codec LCG
       val d = ops.Multimodal.withFakeMedia(
         sp.read.parquet(s"$dir/documents.parquet").select("doc_id"), "doc_id")
-      ops.Multimodal.extractFeatures(d, "doc_id", "media").orderBy("id")
+      val f = ops.Multimodal.extractFeatures(d, "doc_id", "media")
+      f.select(
+        Seq(col("id"), col("kind"), col("width"), col("height")) ++
+          (0 until 8).map(i => round(col("features").getItem(i), 4).as(s"f$i")): _*)
+        .orderBy("id")
     })
   )
 
@@ -336,12 +363,20 @@ object SparkEntry {
           |FROM sc_a a FULL OUTER JOIN sc_b b ON a.doc_id = b.doc_id
           |ORDER BY doc_id""".stripMargin),
     "q_phrase_slop" -> OracleSql.phraseSlop("merge", "table", 1),
+    "q_phrase_slop3" -> OracleSql.phraseSlop3("table", "value", "part", 2),
+    "q_mlt" -> OracleSql.moreLikeThis(0, minTf = 2, maxTerms = 5, k = 10),
+    "q_snippets" -> OracleSql.snippets("vector", 5, 80),
     "q_term_nofieldnorms" -> OracleSql.termQueryNoFieldnorms("spark"),
     "q_count" -> OracleSql.termCount("merge"),
     "q_range_fast" ->
       "SELECT doc_id FROM documents WHERE n_chars >= 200 AND n_chars <= 400 ORDER BY doc_id",
     "q_regex" -> OracleSql.regex("s.an"),
     "q_match_ql" -> OracleSql.matchShouldShouldNot("spark", "batch", "window"),
+    "q_json_term" ->
+      "SELECT doc_id FROM documents WHERE source = 'src3' ORDER BY doc_id",
+    "q_json_range" ->
+      """SELECT doc_id FROM documents
+        |WHERE 2000 + doc_id % 25 BETWEEN 2010 AND 2014 ORDER BY doc_id""".stripMargin,
     "q_facet_counts" ->
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type ORDER BY event_type",
     "q_agg_stats" ->
@@ -400,6 +435,7 @@ object SparkEntry {
     "q_dedup_ngram" -> OracleSql.ngramJaccardPairs(0.8),
     "q_dedup_embed" -> OracleSql.cosinePairs(0.45),
     "q_ann_brute" -> OracleSql.cosineTopK(20),
-    "q_text_stats" -> OracleSql.textStats
+    "q_text_stats" -> OracleSql.textStats,
+    "q_multimodal_features" -> OracleSql.multimodalFeatures
   )
 }

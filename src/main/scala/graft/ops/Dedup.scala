@@ -43,31 +43,60 @@ object Dedup {
     )
   }
 
+  /** Verify candidate (id_a, id_b) pairs with exact Jaccard over the full
+    * shingle sets: candidates carry only the two ids through the shuffle; the
+    * (distinct, so much smaller) candidate set re-joins the shingle arrays by
+    * id — the arrays never ride through the candidate-generation join.
+    */
+  private def verifyJaccard(
+      candidates: DataFrame, withSh: DataFrame, minJaccard: Double): DataFrame =
+    candidates
+      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+
   /** Exact n-gram Jaccard duplicate pairs via shingle-key self-join:
     * only pairs sharing >= 1 shingle are materialized (shuffle on shingle,
-    * not all-pairs), then jaccard = |A∩B| / (|A|+|B|-|A∩B|) exactly.
+    * not all-pairs), then jaccard = |A∩B| / (|A|+|B|-|A∩B|) exactly over the
+    * full shingle sets.
+    *
+    * @param maxShingleDf when > 0, shingles occurring in more than this many
+    *        docs are dropped from CANDIDATE GENERATION (not verification) —
+    *        the standard df-cap: one boilerplate shingle shared by f docs
+    *        otherwise materializes f² candidate pairs. Trade-off: a pair
+    *        whose every shared shingle is hot is missed; near-duplicates
+    *        above a meaningful Jaccard threshold share many shingles, almost
+    *        all of them rare, so recall loss is negligible in practice.
+    *        0 (default) = exact/uncapped.
     */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       n: Int,
-      minJaccard: Double
+      minJaccard: Double,
+      maxShingleDf: Long = 0L
   ): DataFrame = {
     val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-    val sizes = withSh.select(col("id"), size(col("sh")).as("sz"))
     val exploded = withSh.select(col("id"), explode(col("sh")).as("s"))
-    val pairs = exploded.as("a")
-      .join(exploded.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    val keyed =
+      if (maxShingleDf <= 0) exploded
+      else {
+        val w = Window.partitionBy("s")
+        exploded.withColumn("__df", count(lit(1)).over(w))
+          .filter(col("__df") <= maxShingleDf)
+          .drop("__df")
+      }
+    val candidates = keyed.as("a")
+      .join(keyed.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyJaccard(candidates, withSh, minJaccard)
   }
 
   /** MinHash signature column: for each of `numHashes` seeds, the minimum
@@ -99,9 +128,10 @@ object Dedup {
     val withSh = df
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // the band join carries ONLY (id, band-key): shingle arrays re-join by id
+    // during verification, halving the candidate-shuffle width
     val banded = withSh.select(
       col("id"),
-      col("sh"),
       explode(
         transform(
           sequence(lit(0), lit(bands - 1)),
@@ -114,16 +144,9 @@ object Dedup {
         banded.as("b"),
         col("a.bk.band") === col("b.bk.band") && col("a.bk.bh") === col("b.bk.bh") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
-      .dropDuplicates("id_a", "id_b")
-    candidates
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyJaccard(candidates, withSh.select(col("id"), col("sh")), minJaccard)
   }
 
   /** 64-bit SimHash over whitespace tokens weighted by tf (pure column

@@ -59,13 +59,14 @@ object Multimodal {
       (kind, w, h, rest)
     }
 
-    /** "Feature extraction": a deterministic 8-dim float vector from payload
-      * bytes (stands in for an embedding model forward pass).
+    /** "Feature extraction": a deterministic 8-dim vector from payload bytes
+      * (stands in for an embedding model forward pass). Double accumulation
+      * so the value is oracle-reproducible in SQL.
       */
-    def features(payload: Array[Byte]): Array[Float] = {
-      val out = new Array[Float](8)
-      payload.zipWithIndex.foreach { case (b, i) => out(i % 8) += (b & 0xFF) / 255.0f }
-      out.map(x => x / math.max(payload.length / 8, 1))
+    def features(payload: Array[Byte]): Array[Double] = {
+      val out = new Array[Double](8)
+      payload.zipWithIndex.foreach { case (b, i) => out(i % 8) += (b & 0xFF) / 255.0 }
+      out.map(x => x / math.max(payload.length / 8, 1).toDouble)
     }
   }
 
@@ -100,7 +101,7 @@ object Multimodal {
       StructField("kind", StringType, false),
       StructField("width", IntegerType, false),
       StructField("height", IntegerType, false),
-      StructField("features", ArrayType(FloatType, false), false)
+      StructField("features", ArrayType(DoubleType, false), false)
     ))
     val idIdx = 0
     val mediaIdx = 1

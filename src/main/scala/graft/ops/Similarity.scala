@@ -94,25 +94,55 @@ object Similarity {
     */
   final case class IvfIndex(centroids: Array[Array[Double]], assigned: DataFrame)
 
+  /** @param trainFraction fraction of rows the k-means coarse quantizer is
+    *        fit on — at 100 TB the fit must NEVER see the full table; the
+    *        sample is additionally capped at `maxTrainRows` rows so training
+    *        cost is constant in table size. Assignment of the FULL table is a
+    *        single broadcast-centroid pass (nearest-centroid argmin), no ML
+    *        pipeline on the big side.
+    */
   def ivfBuild(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       nLists: Int,
       seed: Long = 42L,
-      maxIter: Int = 10
+      maxIter: Int = 10,
+      trainFraction: Double = 0.05,
+      maxTrainRows: Int = 200000
   ): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val feat = df.select(
-      col(idCol).as("id"),
-      asDouble(col(vecCol)).as("v"),
-      array_to_vector(asDouble(col(vecCol))).as("features"))
-    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter).fit(feat)
+    val feat = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    // sampled training set, floored so tiny tables still train on enough
+    // rows for nLists clusters and capped so huge tables train on O(1) rows
+    val sampled = feat
+      .sample(withReplacement = false, math.min(trainFraction, 1.0), seed)
+      .limit(maxTrainRows)
+      .select(col("v"), array_to_vector(col("v")).as("features"))
+      .persist()
+    val trainDf =
+      if (sampled.count() >= nLists.toLong * 8) sampled
+      else feat.limit(maxTrainRows).select(col("v"), array_to_vector(col("v")).as("features"))
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter).fit(trainDf)
+    sampled.unpersist()
     val centroids = model.clusterCenters.map(_.toArray)
-    val assigned = model
-      .transform(feat)
-      .select(col("id"), col("v"), col("prediction").as("centroid_id"))
+
+    val bcCentroids = df.sparkSession.sparkContext.broadcast(centroids)
+    val assign = udf { (v: Seq[Double]) =>
+      val cs = bcCentroids.value
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val cen = cs(c)
+        var d = 0.0; var i = 0
+        while (i < cen.length) { val t = v(i) - cen(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    val assigned = feat.withColumn("centroid_id", assign(col("v")))
     IvfIndex(centroids, assigned)
   }
 

@@ -27,22 +27,41 @@ object PostingUdfs {
       Array.tabulate(n)(i => PEntryPos(ids(i), tf(i), norms(i) & 0xFF, ps(i)))
     })
 
-  /** Count phrase matches: positions_i must contain a value near
-    * `base + offset_i` for every term. slop=0 is exact adjacency; slop>0
-    * allows each term to deviate by at most `slop` positions from its
-    * expected spot (a documented simplification of Lucene's move-based slop;
-    * identical for slop=0 and for two-term phrases).
+  /** Count phrase matches. slop=0 is exact adjacency of normalized positions
+    * (`pos_i - offset_i` all equal). slop>0 uses move-based slop: a base
+    * (first-term) occurrence matches iff there EXISTS one occurrence per
+    * remaining term such that the spread of normalized positions —
+    * max(norm) - min(norm) over ALL terms including the base — is <= slop
+    * (Lucene `matchLength` semantics; for two terms this reduces to
+    * |norm_1 - norm_0| <= slop). tf = number of matching base occurrences,
+    * consistent with the slop=0 count of exact alignments.
     */
   def phraseTf(positionsPerTerm: Seq[Seq[Int]], offsets: Seq[Int], slop: Int): Int = {
     val first = positionsPerTerm.head
-    val rest = positionsPerTerm.tail.zip(offsets.tail)
     val base0 = offsets.head
-    first.count { p0 =>
-      val base = p0 - base0
-      rest.forall { case (ps, off) =>
-        val want = base + off
-        if (slop == 0) java.util.Arrays.binarySearch(ps.toArray, want) >= 0
-        else ps.exists(q => math.abs(q - want) <= slop)
+    if (slop == 0) {
+      val rest = positionsPerTerm.tail.zip(offsets.tail)
+      first.count { p0 =>
+        val base = p0 - base0
+        rest.forall { case (ps, off) =>
+          java.util.Arrays.binarySearch(ps.toArray, base + off) >= 0
+        }
+      }
+    } else {
+      // normalized, sorted positions per non-base term
+      val normed: Seq[Array[Int]] = positionsPerTerm.tail.zip(offsets.tail).map {
+        case (ps, off) => ps.map(_ - off).toArray.sorted
+      }
+      def hasInWindow(ns: Array[Int], lo: Int, hi: Int): Boolean = {
+        val idx = java.util.Arrays.binarySearch(ns, lo)
+        val ins = if (idx >= 0) idx else -idx - 1
+        ins < ns.length && ns(ins) <= hi
+      }
+      first.count { p0 =>
+        val n0 = p0 - base0
+        // spread <= slop  ⟺  some length-slop window [w, w+slop] containing
+        // n0 covers one normalized position of every term
+        (n0 - slop to n0).exists(w => normed.forall(ns => hasInWindow(ns, w, w + slop)))
       }
     }
   }

@@ -17,11 +17,48 @@ import graft.index.{IndexBuilder, IndexSchema, Maintenance}
   * atomic snapshot). The streaming checkpoint replays an unacknowledged
   * batch after a crash (at-least-once), and key-based upsert conflict
   * resolution makes re-indexing idempotent — the same effective
-  * exactly-once contract as the reference. The file source stands in for
-  * Kafka (no Kafka connector ships in this sandbox); swapping
-  * `readStream.format("kafka")` in changes nothing downstream.
+  * exactly-once contract as the reference. The default file source stands in
+  * for Kafka (no Kafka connector jar ships in this sandbox); [[Source.Kafka]]
+  * wires the real `readStream.format("kafka")` options
+  * (`consumer.rs:37-58` analog: bootstrap servers + topics + group id via
+  * checkpoint) and changes nothing downstream.
   */
 object StreamingIngest {
+
+  /** Streaming source selector. */
+  sealed trait Source
+  object Source {
+    /** Parquet-file drop-dir (the sandbox stand-in). */
+    final case class Files(dir: String, schema: StructType) extends Source
+    /** Real Kafka consumer (requires the spark-sql-kafka connector jar on the
+      * cluster; reference `consumers/kafka/consumer.rs:37-58`). `parse` maps
+      * the raw Kafka (key, value, …) frame to document rows — the analog of
+      * the reference's proto-deserialization step (`consumer.rs:107-133`).
+      */
+    final case class Kafka(
+        bootstrapServers: String,
+        topics: Seq[String],
+        parse: DataFrame => DataFrame,
+        startingOffsets: String = "earliest",
+        maxOffsetsPerTrigger: Option[Long] = None
+    ) extends Source
+  }
+
+  private def readSource(spark: SparkSession, source: Source): DataFrame = source match {
+    case Source.Files(dir, sch) =>
+      spark.readStream.schema(sch).parquet(dir)
+    case k: Source.Kafka =>
+      val r = spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", k.bootstrapServers)
+        .option("subscribe", k.topics.mkString(","))
+        .option("startingOffsets", k.startingOffsets)
+      // offsets live in the Spark checkpoint, committed only after the
+      // snapshot commit (the reference's commit-then-ack ordering,
+      // `services/index.rs:471-491`)
+      k.parse(k.maxOffsetsPerTrigger.fold(r)(m =>
+        r.option("maxOffsetsPerTrigger", m.toString)).load())
+  }
 
   def start(
       spark: SparkSession,
@@ -33,10 +70,21 @@ object StreamingIngest {
       conf: IndexBuilder.BuildConf = IndexBuilder.BuildConf(numSegments = 1),
       strategy: Maintenance.ConflictStrategy = Maintenance.ConflictStrategy.Overwrite,
       trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    startFrom(spark, Source.Files(sourceDir, sourceSchema), indexDir, schema,
+      checkpointDir, conf, strategy, trigger)
+
+  def startFrom(
+      spark: SparkSession,
+      source: Source,
+      indexDir: String,
+      schema: IndexSchema,
+      checkpointDir: String,
+      conf: IndexBuilder.BuildConf = IndexBuilder.BuildConf(numSegments = 1),
+      strategy: Maintenance.ConflictStrategy = Maintenance.ConflictStrategy.Overwrite,
+      trigger: Trigger = Trigger.AvailableNow()
   ): StreamingQuery = {
-    spark.readStream
-      .schema(sourceSchema)
-      .parquet(sourceDir)
+    readSource(spark, source)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

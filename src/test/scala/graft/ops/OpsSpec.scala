@@ -37,6 +37,33 @@ class OpsSpec extends AnyFunSuite {
     assert(exact.getDouble(2) == 1.0)
   }
 
+  test("df-capped shingle join: parity with uncapped, and hot shingles pruned") {
+    // generous cap: no shingle in docsDf reaches df 50, results identical
+    val uncapped = Dedup.ngramJaccardPairs(docsDf, "id", "text", 3, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = Dedup.ngramJaccardPairs(docsDf, "id", "text", 3, 0.4, maxShingleDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped == uncapped)
+
+    // boilerplate scenario: every doc shares a hot header shingle; a df cap
+    // must drop the f² header-pair blow-up but keep the true near-dup (which
+    // shares many RARE shingles). Pair (1,2) shares ONLY the header → it is
+    // below any sane threshold anyway; (10,11) is a genuine near-dup.
+    val rnd = new scala.util.Random(3)
+    val vocab = Vector("kappa", "lambda", "mu", "nu", "xi", "omicron", "pi", "rho")
+    def words(n: Int) = Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val header = "copyright acme corp all rights reserved"
+    val base = Vector.tabulate(20)(i => (i.toLong, s"$header ${words(30)}"))
+    val body = words(30)
+    val boiler = (base :+ (10L, s"$header $body") :+ (11L, s"$header $body extra")).toDF("id", "text")
+    val hot = Dedup.ngramJaccardPairs(boiler, "id", "text", 3, 0.5, maxShingleDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hot.contains((10L, 11L)), s"near-dup lost under df cap: $hot")
+    // candidate generation did not blow up into all header pairs:
+    // with the cap, docs sharing ONLY the header are never even candidates
+    assert(hot.forall { case (a, b) => (a, b) == ((10L, 11L)) })
+  }
+
   test("minhash LSH pairs match exact jaccard pairs on this corpus") {
     val lsh = Dedup.minhashLshPairs(docsDf, "id", "text", 3, 16, 8, 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -145,7 +172,7 @@ class OpsSpec extends AnyFunSuite {
     val feats = Multimodal.extractFeatures(df, "id", "media", batchSize = 16)
     val rows = feats.collect()
     assert(rows.length == 100)
-    assert(rows.forall(_.getSeq[Float](4).size == 8))
+    assert(rows.forall(_.getSeq[Double](4).size == 8))
     val kinds = rows.map(_.getString(1)).toSet
     assert(kinds == Set("image", "audio", "video"))
     // determinism
@@ -189,5 +216,28 @@ class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
     val q2 = emb.filter($"vec_id" === 3).select("embedding").head().getSeq[Float](0).map(_.toDouble).toArray
     val top = Similarity.ivfTopK(ivf2, q2, 5, nprobe = 1).collect()
     assert(top.head.getLong(0) == 3L && top.head.getDouble(1) == 1.0)
+  }
+
+  test("IVF trained on a SAMPLE keeps recall (100 TB path: fit never sees the full table)") {
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    def unit(v: Array[Double]) = { val n = math.sqrt(v.map(x => x*x).sum); v.map(_/n) }
+    val centers = Array.fill(25)(unit(Array.fill(dim)(rnd.nextGaussian())))
+    val rows = for {
+      c <- 0 until 25
+      m <- 0 until 200 // 5000 vectors: sample fraction genuinely subsamples
+    } yield ((c * 1000 + m).toLong,
+      unit(centers(c).map(_ + rnd.nextGaussian() * 0.06)).map(_.toFloat).toSeq)
+    val df = rows.toDF("vec_id", "embedding")
+    // trainFraction 0.05 → ~250 training rows (>= nLists*8=80 → NO full fallback)
+    val ivf = Similarity.ivfBuild(df, "vec_id", "embedding", nLists = 10, seed = 7,
+      trainFraction = 0.05)
+    val q = rows.find(_._1 == 7100L).get._2.map(_.toDouble).toArray
+    val exact = Similarity.cosineTopK(df, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val got = Similarity.ivfTopK(ivf, q, 10, nprobe = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert((exact intersect got).size >= 8,
+      s"sample-trained IVF recall too low: ${(exact intersect got).size}/10")
   }
 }
