@@ -89,6 +89,19 @@ object Bench {
     (hi / lo) / (scaleHigh.toDouble / scaleLow)
   }
 
+  /** Aggregate streaming memory bandwidth (GB/s) at `cpus` pinned threads. */
+  private def memBw(cpus: Int): Double = {
+    val java = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val cmd = Seq("taskset", "-c", s"0-${cpus - 1}", java, "-Xmx2g", "-cp", cp,
+      "graft.MemBwProbe", cpus.toString)
+    val out = new StringBuilder
+    val code = Process(cmd).!(ProcessLogger(l => out.append(l).append('\n'), _ => ()))
+    require(code == 0, s"MemBwProbe failed (exit $code)")
+    out.toString.linesIterator.find(_.startsWith("MEMBW_GBPS="))
+      .get.stripPrefix("MEMBW_GBPS=").toDouble
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpusHigh = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -149,26 +162,40 @@ object Bench {
     // evidence algorithmic scaling in that window — the pair is discarded
     // and retried, bounded by maxAttempts. Spin numbers are reported so a
     // degraded-host run is distinguishable from an engine regression.
+    // two instruments: (a) register-only busy-loop N→4N efficiency —
+    // detects CPU steal; (b) streaming memory bandwidth at 4N threads,
+    // judged RELATIVE to the best reading this run — detects bandwidth
+    // steal, which slows the wide build ~25% while busy-loops read healthy.
     val minHwEff = sys.env.getOrElse("GRAFT_BENCH_MIN_HW_EFF", "0.85").toDouble
+    val minBwFrac = sys.env.getOrElse("GRAFT_BENCH_MIN_BW_FRAC", "0.88").toDouble
     val maxAttempts = reps * 3
     val pairs = Vector.newBuilder[(Double, Double, Double)] // (tl, th, hwEff)
     var accepted = 0
     var attempts = 0
+    var bwMax = memBw(scaleHigh)
     val hwSeen = Vector.newBuilder[Double]
+    val bwSeen = Vector.newBuilder[Double]
+    bwSeen += bwMax
+    def bwOk(): Boolean = {
+      val bw = memBw(scaleHigh)
+      bwSeen += bw
+      bwMax = math.max(bwMax, bw)
+      bw >= minBwFrac * bwMax
+    }
     while (accepted < reps && attempts < maxAttempts) {
       attempts += 1
       val hwBefore = hwEff(scaleLow, scaleHigh)
       hwSeen += hwBefore
-      if (hwBefore >= minHwEff) {
+      if (hwBefore >= minHwEff && bwOk()) {
         val tl = pinnedBuild(pagesDir, s"$work/index_low_$attempts", scaleLow, 1)
         val th = pinnedBuild(pagesDir, s"$work/index_mid_$attempts", scaleHigh, 1)
         val hwAfter = hwEff(scaleLow, scaleHigh)
         hwSeen += hwAfter
-        if (hwAfter >= minHwEff) {
+        if (hwAfter >= minHwEff && bwOk()) {
           pairs += ((tl, th, math.min(hwBefore, hwAfter)))
           accepted += 1
-        } else System.err.println(f"[bench] pair discarded (hw burst mid-pair: $hwAfter%.3f)")
-      } else System.err.println(f"[bench] pair skipped (hw eff $hwBefore%.3f < $minHwEff)")
+        } else System.err.println(f"[bench] pair discarded (instrument burst mid-pair)")
+      } else System.err.println(f"[bench] pair skipped (cpu $hwBefore%.3f or bandwidth below floor)")
     }
     var pairTimes = pairs.result().map(p => (p._1, p._2))
     if (pairTimes.isEmpty) {
@@ -183,7 +210,8 @@ object Bench {
     val effs = pairTimes.map { case (tl, th) => (tl / th) / (scaleHigh.toDouble / scaleLow) }
     System.err.println("[bench] pair_efficiencies=" +
       effs.map(e => f"$e%.3f").mkString(",") +
-      " hw_effs=" + hwSeen.result().map(e => f"$e%.3f").mkString(","))
+      " hw_effs=" + hwSeen.result().map(e => f"$e%.3f").mkString(",") +
+      " membw_gbps=" + bwSeen.result().map(e => f"$e%.1f").mkString(","))
     val tBuildLow = median(pairTimes.map(_._1))
     val tBuildMid = median(pairTimes.map(_._2))
     val highReps = math.min(reps, 2)
@@ -254,6 +282,7 @@ object Bench {
         f""""build_docs_per_sec_${scaleLow}c":$thrLow%.1f,"build_docs_per_sec_${scaleHigh}c":$thrMid%.1f,""" +
         f""""build_docs_per_sec_${cpusHigh}c":$thrFull%.1f,""" +
         s""""pair_efficiencies":$pairEffsJson,"hw_busyloop_efficiencies":$hwJson,""" +
+        s""""membw_gbps":${bwSeen.result().map(e => f"$e%.1f").mkString("[", ",", "]")},""" +
         f""""scaling_pair":"${scaleLow}c->${scaleHigh}c","scaling_efficiency":$eff%.3f}"""
     )
     spark.stop()

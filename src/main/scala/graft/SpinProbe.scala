@@ -10,6 +10,40 @@ package graft
   *
   * stdout: `SPIN_GOPS=<double>`
   */
+/** Streaming memory-bandwidth probe: each thread sums a private 64 MB long
+  * array repeatedly; prints aggregate GB/s. Detects host memory-bandwidth
+  * steal that a register-only busy-loop cannot see (observed: engine builds
+  * slowing 25% while SpinProbe read ~1.0 scaling).
+  */
+object MemBwProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args(0).toInt
+    val words = 8 * 1024 * 1024 // 64 MB per thread
+    val passes = 6
+    val arrays = Array.fill(n)(Array.tabulate(words)(i => i.toLong))
+    val sink = new Array[Long](n)
+    val threads = Array.tabulate(n) { k =>
+      new Thread(() => {
+        val a = arrays(k)
+        var s = 0L
+        var p = 0
+        while (p < passes) {
+          var i = 0
+          while (i < a.length) { s += a(i); i += 1 }
+          p += 1
+        }
+        sink(k) = s
+      })
+    }
+    val t0 = System.nanoTime()
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val sec = (System.nanoTime() - t0) / 1e9
+    val bytes = n.toLong * words * 8L * passes
+    println(f"MEMBW_GBPS=${bytes / sec / 1e9}%.3f")
+  }
+}
+
 object SpinProbe {
   def main(args: Array[String]): Unit = {
     val n = args(0).toInt

@@ -361,21 +361,23 @@ object IndexBuilder {
     val tokens = tokensPerField.reduce(_ unionByName _)
     val recordPositions = schema.fields.map(f => f.name -> (f.record == "position")).toMap
 
-    // the packed blocks are persisted once and reused for the stats pass —
-    // re-reading the freshly written parquet cost a fixed ~2 s per build
-    // (file commit + listing + decode), pure overhead at high parallelism
-    val packed = packPostings(tokens, conf.blockBits, parts, recordPositions)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    timed("postings-pack-write")(packed.write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("segment_id")
-      .parquet(s"$indexDir/postings"))
+    timed("postings-pack-write")(
+      packPostings(tokens, conf.blockBits, parts, recordPositions).write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("segment_id")
+        .parquet(s"$indexDir/postings"))
 
-    val segs = timed("stats+metrics")(writeStats(spark, schema, indexDir, buildId, packed,
+    // stats re-read ONLY the narrow stat columns of the written blocks —
+    // column pruning makes this far cheaper than caching the full blocks
+    // (persisting them serialized every posting binary through the columnar
+    // cache, a memory-bandwidth tax the pack stage paid at every core count)
+    val statCols = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("segment_id").isin(segIds.map(Integer.valueOf): _*))
+      .select("segment_id", "field", "term", "doc_count", "sum_tf", "posting_bytes")
+    val segs = timed("stats+metrics")(writeStats(spark, schema, indexDir, buildId, statCols,
       segStats, outParts(4096), mergeDepth, parentSegments))
 
-    packed.unpersist()
     sortedHandle.unpersist()
     segs
   }
