@@ -276,9 +276,12 @@ object IndexBuilder {
     // groups (and stored fields) but NOT the raw indexed text
     val tokUdfs = schema.fields.map { f =>
       val an = f.analyzer
-      f.name -> (
-        if (f.fieldType == "json") udf((s: String) => JsonField.analyzeJson(an, s))
-        else udf((s: String) => analyzeField(an, s)))
+      f.name -> (f.fieldType match {
+        case "json"  => udf((s: String) => JsonField.analyzeJson(an, s))
+        case "bytes" => udf((s: String) => TypedFields.singleTok(Option(s).flatMap(TypedFields.bytesTerm)))
+        case "ip"    => udf((s: String) => TypedFields.singleTok(TypedFields.ipTerm(s)))
+        case _       => udf((s: String) => analyzeField(an, s))
+      })
     }.toMap
     val keepCols =
       Seq(col("segment_id"), col("__key")) ++

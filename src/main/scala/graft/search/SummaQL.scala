@@ -243,7 +243,16 @@ object SummaQL {
       def ws(): Unit = while (!eof && Character.isWhitespace(cur)) p += 1
       def boundary(): Option[Option[String]] =
         if (!eof && cur == '*') { p += 1; Some(None) }
-        else {
+        else if (!eof && QuoteChars.contains(cur)) {
+          // quoted boundary: values whose chars aren't word chars (ip
+          // literals `"192.168.1.1"`, base64 with `/=`)
+          val q = cur
+          p += 1
+          val start = p
+          while (!eof && cur != q) p += 1
+          if (eof) None
+          else { val w = s.substring(start, p); p += 1; Some(Some(w)) }
+        } else {
           val neg = !eof && cur == '-'
           if (neg) p += 1
           readWord() match {
@@ -413,6 +422,25 @@ object SummaQL {
         case PPhrase(t, _)    => Seq(boosted(RangeQuery(field, Some(t), Some(t)), boost))
         case PRange(lo, hi)   => Seq(boosted(RangeQuery(field, lo, hi), boost))
         case PRegex(_)        => Seq(EmptyQuery)
+      }
+    }
+    // typed scalar fields (reference `parse_pre_term` FieldType::Bytes /
+    // IpAddr arms): one canonical hex term per value, ranges lexicographic
+    val typedTerm: Option[String => Option[String]] =
+      cfg.schema.flatMap(_.field(field)).map(_.fieldType) match {
+        case Some("bytes") => Some(graft.index.TypedFields.bytesTerm _)
+        case Some("ip")    => Some(graft.index.TypedFields.ipTerm _)
+        case _             => None
+      }
+    typedTerm.foreach { enc =>
+      return pre match {
+        case PWord(w) =>
+          enc(w).map(t => boosted(TermQuery(field, t), boost)).toSeq
+        case PPhrase(t, _) =>
+          enc(t).map(v => boosted(TermQuery(field, v), boost)).toSeq
+        case PRange(lo, hi) =>
+          Seq(boosted(TermRangeQuery(field, lo.flatMap(enc), hi.flatMap(enc)), boost))
+        case PRegex(_) => Seq(EmptyQuery)
       }
     }
     val analyzer = Analyzers(cfg.analyzerOf(field))
