@@ -29,7 +29,8 @@ object BenchPhase {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.parquet.compression.codec", "zstd")
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("GRAFT_BENCH_CODEC", "zstd"))
       // shuffle/spill files live next to the index (tmpfs when the caller
       // put the workdir there) — host-disk I/O noise otherwise dominates
       // single-build variance
@@ -47,6 +48,24 @@ object BenchPhase {
     // oversubscribe tasks per core so stage-tail skew doesn't idle cores —
     // the multi-executor analog of spark's 2-3 tasks-per-slot guidance
     val partsFactor = sys.env.getOrElse("GRAFT_BUILD_PARTS_FACTOR", "3").toInt
+    // task-time accounting: executor run-time vs cpu-time split shows
+    // whether extra per-core time at higher parallelism is compute
+    // inflation (contention) or waiting (bandwidth/GC stalls)
+    val runTime = new java.util.concurrent.atomic.AtomicLong
+    val cpuTime = new java.util.concurrent.atomic.AtomicLong
+    val gcTime = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          runTime.addAndGet(m.executorRunTime)
+          cpuTime.addAndGet(m.executorCpuTime / 1000000L)
+          gcTime.addAndGet(m.jvmGCTime)
+          ()
+        }
+      }
+    })
+
     val times = (1 to reps).map { i =>
       val t0 = System.nanoTime()
       IndexBuilder.build(
@@ -61,6 +80,8 @@ object BenchPhase {
       new org.apache.hadoop.fs.Path(s"$indexDir-r$reps"),
       new org.apache.hadoop.fs.Path(indexDir))
     val median = times.sorted.apply(times.size / 2)
+    println(f"TASK_TIME run=${runTime.get / 1000.0}%.1fs cpu=${cpuTime.get / 1000.0}%.1fs " +
+      f"gc=${gcTime.get / 1000.0}%.1fs")
     println("BUILD_SECONDS_ALL=" + times.map(t => f"$t%.4f").mkString(","))
     println(f"BUILD_SECONDS=$median%.4f")
     spark.stop()
