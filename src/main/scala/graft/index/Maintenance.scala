@@ -141,12 +141,20 @@ object Maintenance {
       parts: Int
   ): Unit = {
     import org.apache.spark.sql.types._
-    val postingsRead = spark.read.parquet(s"$indexDir/postings").filter(col("segment_id") === segId)
-    val docsRead = spark.read.parquet(s"$indexDir/docs").filter(col("segment_id") === segId)
-
-    postingsRead
+    // one narrow column-pruned scan of the merged segment's blocks drives
+    // termstats AND the per-segment metrics aggregates (same single-pass
+    // shape as the fresh-build stats path)
+    val termLevel = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("segment_id") === segId)
+      .select("segment_id", "field", "term", "doc_count", "sum_tf", "posting_bytes")
       .groupBy("segment_id", "field", "term")
-      .agg(sum("doc_count").cast(LongType).as("df"), sum("sum_tf").as("total_tf"))
+      .agg(
+        sum("doc_count").cast(LongType).as("df"),
+        sum("sum_tf").as("total_tf"),
+        sum("posting_bytes").as("pb"))
+      .persist()
+    termLevel
+      .select("segment_id", "field", "term", "df", "total_tf")
       .repartitionByRange(math.max(parts / 4, 1), col("field"), col("term"))
       .sortWithinPartitions("field", "term")
       .write
@@ -155,6 +163,7 @@ object Maintenance {
       .partitionBy("segment_id")
       .parquet(s"$indexDir/termstats")
 
+    val docsRead = spark.read.parquet(s"$indexDir/docs").filter(col("segment_id") === segId)
     val statAggs = schema.fields.map(f => sum(col(s"len_${f.name}")).as(s"tt_${f.name}"))
     val statRow = docsRead.agg(count(lit(1)).as("n_docs"), statAggs: _*).collect()(0)
     val fsRows = schema.fields.map(f =>
@@ -171,19 +180,25 @@ object Maintenance {
       .partitionBy("segment_id")
       .parquet(s"$indexDir/fieldstats")
 
-    val segPostings = postingsRead
+    val segAgg = termLevel
       .groupBy("segment_id")
-      .agg(sum("posting_bytes").as("posting_bytes"), countDistinct("field", "term").as("num_terms"))
-    docsRead.groupBy("segment_id").agg(count(lit(1)).as("num_docs"))
-      .join(segPostings, Seq("segment_id"), "left")
-      .select(
-        lit(buildId).as("build_id"), col("segment_id"), col("num_docs"),
-        coalesce(col("num_terms"), lit(0L)).as("num_terms"),
-        coalesce(col("posting_bytes"), lit(0L)).as("posting_bytes"),
-        lit(mergeDepth).as("merge_depth"),
-        lit(parents.map(_.toString).toArray).as("parent_segments"),
-        current_timestamp().as("created_at"))
-      .coalesce(1)
+      .agg(sum("pb").as("posting_bytes"), count(lit(1)).as("num_terms"))
+      .collect().headOption
+    termLevel.unpersist()
+    val (pBytes, nTerms) = segAgg.map(r => (r.getLong(1), r.getLong(2))).getOrElse((0L, 0L))
+    val mRow = org.apache.spark.sql.Row(
+      buildId, segId, statRow.getAs[Long]("n_docs"), nTerms, pBytes, mergeDepth,
+      parents.map(_.toString).toArray, new java.sql.Timestamp(System.currentTimeMillis()))
+    val mSchema = StructType(Seq(
+      StructField("build_id", StringType, false),
+      StructField("segment_id", IntegerType, false),
+      StructField("num_docs", LongType, false),
+      StructField("num_terms", LongType, false),
+      StructField("posting_bytes", LongType, false),
+      StructField("merge_depth", IntegerType, false),
+      StructField("parent_segments", ArrayType(StringType, false), false),
+      StructField("created_at", TimestampType, false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(Seq(mRow), 1), mSchema)
       .write.mode("append").parquet(s"$indexDir/metrics")
   }
 
