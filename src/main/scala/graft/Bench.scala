@@ -123,6 +123,11 @@ object Bench {
       else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     }
     val work = Files.createTempDirectory(workBase, "graft-bench").toString
+    // registered BEFORE any build/probe: an aborted run must release the
+    // multi-GB tmpfs corpus + index copies, not leave them RAM-resident
+    sys.addShutdownHook {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work)); ()
+    }
     val pagesDir = s"$work/pages"
 
     // generate the shared input corpus
@@ -273,11 +278,6 @@ object Bench {
     val thrFull = nPages / tBuildHigh
     // the headline gate metric: efficiency of the best-of-N throughputs
     val eff = (thrMid / thrLow) / (scaleHigh.toDouble / scaleLow)
-
-    // free the tmpfs workdir before reporting (keep nothing RAM-resident)
-    sys.addShutdownHook {
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work)); ()
-    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum

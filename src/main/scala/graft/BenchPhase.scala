@@ -54,6 +54,7 @@ object BenchPhase {
     val runTime = new java.util.concurrent.atomic.AtomicLong
     val cpuTime = new java.util.concurrent.atomic.AtomicLong
     val gcTime = new java.util.concurrent.atomic.AtomicLong
+    val stageMetrics = sys.env.get("GRAFT_STAGE_METRICS").contains("1")
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
@@ -64,6 +65,19 @@ object BenchPhase {
           ()
         }
       }
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (stageMetrics) {
+          val i = s.stageInfo
+          val m = i.taskMetrics
+          System.err.println(
+            f"[stage] id=${i.stageId} tasks=${i.numTasks} name=${i.name.takeWhile(_ != '\n').take(60)} " +
+              f"run=${m.executorRunTime / 1000.0}%.1f cpu=${m.executorCpuTime / 1e9}%.1f " +
+              f"gc=${m.jvmGCTime / 1000.0}%.1f " +
+              f"in=${m.inputMetrics.bytesRead / 1e6}%.0fMB out=${m.outputMetrics.bytesWritten / 1e6}%.0fMB " +
+              f"sr=${m.shuffleReadMetrics.totalBytesRead / 1e6}%.0fMB sw=${m.shuffleWriteMetrics.bytesWritten / 1e6}%.0fMB " +
+              f"spill=${m.diskBytesSpilled / 1e6}%.0fMB")
+        }
     })
 
     val times = (1 to reps).map { i =>

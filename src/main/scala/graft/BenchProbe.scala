@@ -11,7 +11,7 @@ object BenchProbe {
 
   /** Flat-array tokenize shape (no nested struct array) — probe comparand. */
   final case class TokFlat(len: Int, norm: Int, terms: Array[String],
-      tfs: Array[Int], posFlat: Array[Int], posOff: Array[Int])
+      tfs: Array[Int], posFlat: Array[Byte], posOff: Array[Int])
 
   def analyzeFlat(analyzerName: String, value: String): TokFlat = {
     val tf = index.IndexBuilder.analyzeField(analyzerName, value)
@@ -21,7 +21,7 @@ object BenchProbe {
     var total = 0
     var i = 0
     while (i < n) { total += tf.terms(i).positions.length; i += 1 }
-    val posFlat = new Array[Int](total)
+    val posFlat = new Array[Byte](total)
     var o = 0
     i = 0
     while (i < n) {

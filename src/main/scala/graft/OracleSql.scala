@@ -351,6 +351,31 @@ object OracleSql {
        |          length(text)) * 0.3, 4) AS quality
        |FROM t ORDER BY doc_id""".stripMargin
 
+  /** Rolling-hash fingerprint — mirrors TextStats.fingerprint's wrapping
+    * 64-bit folds (word hash: `wh = wh*31 + char`; doc hash:
+    * `h = h*1000003 + wh`, seed 1125899906842597) with HUGEINT arithmetic
+    * mod 2^64, then maps the unsigned fold back to the signed BIGINT the
+    * engine emits. `documents.text` is single-space lowercase ASCII, so
+    * `string_split(text, ' ')` is exactly Spark's `split("\\s+")` here.
+    */
+  def textFingerprint: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |         list_reduce(
+      |           list_prepend(1125899906842597::HUGEINT,
+      |             [ list_reduce(
+      |                 list_prepend(0::HUGEINT,
+      |                   [ ascii(c)::HUGEINT FOR c IN string_split(w, '') ]),
+      |                 (a, b) -> (a * 31 + b) % 18446744073709551616::HUGEINT)
+      |               FOR w IN string_split(text, ' ') ]),
+      |           (a, b) -> (a * 1000003::HUGEINT + b) % 18446744073709551616::HUGEINT) AS u
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |       (CASE WHEN u >= 9223372036854775808::HUGEINT
+      |             THEN u - 18446744073709551616::HUGEINT ELSE u END)::BIGINT AS fp
+      |FROM h ORDER BY doc_id""".stripMargin
+
   /** Multimodal feature extraction over the deterministic fake codec —
     * mirrors Multimodal.{withFakeMedia, MediaCodec}: the payload is 64 bytes
     * of a 64-bit LCG (`s = s*6364136223846793005 + 1442695040888963407`,

@@ -290,12 +290,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q_text_fingerprint" -> ((sp, dir) => {
-      // rows-only: hash-specific; determinism + order sensitivity in OpsSpec
+      // deterministic wrapping arithmetic — the DuckDB oracle reproduces the
+      // exact 64-bit fold with HUGEINT mod-2^64 (langid, a UDF heuristic
+      // with no SQL form, is pinned by OpsSpec instead)
       val d = sp.read.parquet(s"$dir/documents.parquet")
       d.select(
         col("doc_id"),
-        ops.TextStats.fingerprint(col("text")).as("fp"),
-        ops.TextStats.langId(col("text")).as("lang_pred"))
+        ops.TextStats.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
     }),
     "q_multimodal_features" -> ((sp, dir) => {
@@ -436,6 +437,7 @@ object SparkEntry {
     "q_dedup_embed" -> OracleSql.cosinePairs(0.45),
     "q_ann_brute" -> OracleSql.cosineTopK(20),
     "q_text_stats" -> OracleSql.textStats,
+    "q_text_fingerprint" -> OracleSql.textFingerprint,
     "q_multimodal_features" -> OracleSql.multimodalFeatures
   )
 }

@@ -54,8 +54,12 @@ object IndexBuilder {
   /** Per-segment doc/token totals observed during the docs write. */
   final case class SegStat(segmentId: Int, nDocs: Long, tokensByField: Map[String, Long])
 
-  /** Per-term group inside one document field. */
-  final case class TermGroup(term: String, tf: Int, positions: Array[Int])
+  /** Per-term group inside one document field. `positions` is the doc's
+    * position list pre-packed to the block delta-varint layout
+    * ([[PostingCodec.packDocPositions]]) so shuffles and the columnar cache
+    * move ~1-2 bytes per occurrence, not a boxed int array.
+    */
+  final case class TermGroup(term: String, tf: Int, positions: Array[Byte])
   /** Analyzed field: token count, quantized fieldnorm id, term groups
     * (sorted by term).
     */
@@ -72,20 +76,47 @@ object IndexBuilder {
     val groups = new Array[TermGroup](m.size)
     var i = 0
     m.forEach { (term, ps) =>
-      groups(i) = TermGroup(term, ps.length, ps.toArray)
+      groups(i) = TermGroup(term, ps.length, PostingCodec.packDocPositions(ps.toArray))
       i += 1
     }
     TokField(toks.length, FieldNorm.encode(toks.length.toLong), groups)
   }
 
+  /** The canonical doc-order shuffle feeding [[assignDocIds]]: range
+    * partition + in-partition sort on (segment, key). `projection` (e.g.
+    * tokenization) is applied AFTER the sort so analysis runs exactly once,
+    * during pass-1 materialization — the RangePartitioner sampling pass only
+    * re-executes the cheap pre-projection scan, never the analyzers.
+    * (A hash-sharded doc order was tried and reverted: deterministic and
+    * sampling-free, but per-shard-ragged posting blocks inflated fragment
+    * counts ~30% and shard-count imbalance straggled the wide build.)
+    */
+  def shardAndSort(
+      df: DataFrame, parts: Int, projection: Seq[org.apache.spark.sql.Column]): DataFrame =
+    df.repartitionByRange(parts, col("segment_id"), col("__key"))
+      .sortWithinPartitions(col("segment_id"), col("__key"))
+      .select(projection: _*)
+
   /** Assign dense per-segment docIds = rank of `__key` within `segment_id`:
     * range-partition + in-partition sort, then a two-pass offset computation
     * (pass 1 counts rows per (partition, segment); pass 2 streams ids).
-    * `df` is persisted as the single materialized intermediate of the build —
-    * callers put tokenization *in* `df`'s projection so analysis runs exactly
-    * once, during pass-1 materialization.
+    * `df` must come from [[shardAndSort]] and is persisted as the single
+    * materialized intermediate of the build.
+    *
+    * `extraAggs` piggy-back on the pass-1 aggregation (e.g. per-segment
+    * token totals): the cache-materializing scan is already paying for the
+    * group-by, so segment stats ride along for free instead of re-scanning
+    * (or observing during) the docs write.
+    *
+    * @return (df-with-ids, persisted handle, total rows, pass-1 agg rows
+    *         keyed by segment: segment_id -> (count, extra agg values))
     */
-  def assignDocIds(df: DataFrame, parts: Int, level: StorageLevel): (DataFrame, DataFrame, Long) = {
+  def assignDocIds(
+      df: DataFrame,
+      parts: Int,
+      level: StorageLevel,
+      extraAggs: Seq[org.apache.spark.sql.Column] = Nil
+  ): (DataFrame, DataFrame, Long, Map[Int, Row]) = {
     val spark = df.sparkSession
     // the partition id is stamped as a column at materialization time — a
     // TaskContext-based id would be wrong when this plan is later embedded
@@ -93,11 +124,31 @@ object IndexBuilder {
     val sorted = df.withColumn("__pid", spark_partition_id()).persist(level)
 
     // pass 1: rows per (physical partition, segment) — small driver table
-    val counts = sorted
+    val pass1 = sorted
       .groupBy("__pid", "segment_id")
-      .count()
+      .agg(count(lit(1)).as("__n"), extraAggs: _*)
       .collect()
+    val counts = pass1
       .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+
+    // per-segment rollup of the piggy-backed aggs (sum over shards)
+    val segAggRows: Map[Int, Row] =
+      if (extraAggs.isEmpty) Map.empty
+      else pass1
+        .groupBy(_.getInt(1))
+        .map { case (seg, rs) =>
+          val nExtra = extraAggs.size
+          val sums = Array.fill[Long](nExtra + 1)(0L)
+          rs.foreach { r =>
+            sums(0) += r.getLong(2)
+            var i = 0
+            while (i < nExtra) {
+              if (!r.isNullAt(3 + i)) sums(1 + i) += r.getLong(3 + i)
+              i += 1
+            }
+          }
+          seg -> Row.fromSeq(sums.toSeq)
+        }
 
     // start offset of each (pid, segment): sum of counts in earlier pids
     val bySeg = counts.groupBy(_._1._2)
@@ -131,7 +182,7 @@ object IndexBuilder {
         Row.fromSeq(vals :+ id.toInt)
       }
     }(enc)
-    (withIds, sorted, counts.map(_._2).sum)
+    (withIds, sorted, counts.map(_._2).sum, segAggRows)
   }
 
   val packSchema: StructType = StructType(Seq(
@@ -173,7 +224,9 @@ object IndexBuilder {
         col("segment_id"), col("doc_id"), col("field"), col("term"),
         col("tf"), col("norm_id"), col("positions"))
       .withColumn("block_id", shiftright(col("doc_id"), blockBits).cast(IntegerType))
-      .repartitionByRange(parts, col("segment_id"), col("field"), col("term"), col("block_id"))
+      // hash, not range: RangePartitioning's sampling job would execute the
+      // upstream plan (for merges: the posting unpack + rebase join) twice
+      .repartition(parts, col("segment_id"), col("field"), col("term"), col("block_id"))
       .sortWithinPartitions("segment_id", "field", "term", "block_id", "doc_id")
 
     parted.mapPartitions { rows =>
@@ -190,7 +243,8 @@ object IndexBuilder {
           val docIds = new scala.collection.mutable.ArrayBuffer[Int](64)
           val tfs = new scala.collection.mutable.ArrayBuffer[Int](64)
           val norms = new scala.collection.mutable.ArrayBuffer[Int](64)
-          val poss = new scala.collection.mutable.ArrayBuffer[Array[Int]](64)
+          val poss = new scala.collection.mutable.ArrayBuffer[Array[Byte]](64)
+          var posLen = 0
           val withPos = recPos.getOrElse(field, false)
           var more = true
           while (more && it.hasNext) {
@@ -201,7 +255,11 @@ object IndexBuilder {
               docIds += r.getInt(1)
               tfs += r.getInt(4)
               norms += r.getInt(5)
-              if (withPos) poss += r.getSeq[Int](6).toArray
+              if (withPos) {
+                val pb = r.getAs[Array[Byte]](6)
+                poss += pb
+                posLen += pb.length
+              }
             } else more = false
           }
           val docIdsA = docIds.toArray
@@ -209,7 +267,14 @@ object IndexBuilder {
           val docIdsB = PostingCodec.packDocIds(docIdsA)
           val tfsB = PostingCodec.packVarInts(tfsA)
           val normsB = norms.map(_.toByte).toArray
-          val posB = if (withPos) PostingCodec.packPositions(poss.toArray) else null
+          // block positions = concatenation of the pre-packed per-doc runs
+          // (bit-identical to packing the decoded arrays here)
+          val posB = if (withPos) {
+            val b = new Array[Byte](posLen)
+            var o = 0
+            poss.foreach { pb => System.arraycopy(pb, 0, b, o, pb.length); o += pb.length }
+            b
+          } else null
           val bytes = docIdsB.length.toLong + tfsB.length + normsB.length +
             (if (posB == null) 0 else posB.length)
           Row(
@@ -222,6 +287,249 @@ object IndexBuilder {
         }
       }
     }(Encoders.row(packSchema))
+  }
+
+  /** One in-progress posting fragment: the postings of one (field, term)
+    * within the current (segment, block) of one input partition.
+    */
+  private final class Frag {
+    val docIds = new scala.collection.mutable.ArrayBuffer[Int](8)
+    val tfs = new scala.collection.mutable.ArrayBuffer[Int](8)
+    val norms = new scala.collection.mutable.ArrayBuffer[Byte](8)
+    var posChunks: scala.collection.mutable.ArrayBuffer[Array[Byte]] = null
+    var posLen = 0
+    var maxTf = 0
+    var minNorm = 255
+    var sumTf = 0L
+  }
+
+  /** Map-side posting pack over the analyzed doc partitions (the classic
+    * inverted-index combiner): each input partition holds docs SORTED by
+    * (segment_id, doc_id) with contiguous docId ranges, so posting blocks
+    * (`block_id = doc_id >>> blockBits`) can be assembled in memory one
+    * block at a time and emitted as packed fragments — the shuffle then
+    * moves ~one binary row per (term, block) instead of one row per
+    * (doc, term) occurrence. For a head term this is a ~blockSpan× shuffle
+    * reduction; it is what keeps build scaling flat when postings dominate
+    * (at 10^12 docs the per-posting shuffle was the memory-bandwidth
+    * bottleneck at every core count).
+    *
+    * A block whose docId range straddles an input-partition boundary yields
+    * one fragment per partition; the reduce side merges consecutive
+    * fragments after a range shuffle on (segment, field, term, block) —
+    * fragments never interleave (partitions hold disjoint contiguous doc
+    * ranges), so the merged block bytes are IDENTICAL to a single-pass pack:
+    * only the absolute first docId varint of each later run is rewritten as
+    * a delta.
+    */
+  def packFromAnalyzed(
+      analyzed: DataFrame,
+      fields: Seq[FieldDef],
+      blockBits: Int,
+      parts: Int,
+      recordPositions: Map[String, Boolean]
+  ): DataFrame = {
+    val inSchema = analyzed.schema
+    val segIdx = inSchema.fieldIndex("segment_id")
+    val docIdx = inSchema.fieldIndex("doc_id")
+    val fieldNames = fields.map(_.name).toArray
+    val tokIdxs = fieldNames.map(n => inSchema.fieldIndex(s"__tok_$n"))
+    val withPosArr = fieldNames.map(n => recordPositions.getOrElse(n, false))
+    val nFields = fieldNames.length
+
+    val fragments = analyzed.mapPartitions { rows =>
+      new Iterator[Row] {
+        private val pending = new java.util.ArrayDeque[Row]()
+        private val maps =
+          Array.fill(nFields)(new java.util.HashMap[String, Frag]())
+        private var curSeg = Int.MinValue
+        private var curBlock = Int.MinValue
+        private var finalFlushDone = false
+
+        private def emit(fi: Int, term: String, f: Frag, seg: Int, block: Int): Row = {
+          val docIdsA = f.docIds.toArray
+          val docIdsB = PostingCodec.packDocIds(docIdsA)
+          val tfsB = PostingCodec.packVarInts(f.tfs.toArray)
+          val normsB = f.norms.toArray
+          val posB =
+            if (f.posChunks == null) null
+            else {
+              val b = new Array[Byte](f.posLen)
+              var o = 0
+              f.posChunks.foreach { pb => System.arraycopy(pb, 0, b, o, pb.length); o += pb.length }
+              b
+            }
+          val bytes = docIdsB.length.toLong + tfsB.length + normsB.length +
+            (if (posB == null) 0 else posB.length)
+          Row(fieldNames(fi), term, seg, block,
+            docIdsA.length, docIdsA.head, docIdsA.last,
+            f.maxTf, f.minNorm, f.sumTf,
+            docIdsB, tfsB, normsB, posB, bytes)
+        }
+
+        private def flushAll(seg: Int, block: Int): Unit = {
+          var fi = 0
+          while (fi < nFields) {
+            maps(fi).forEach((term, frag) => { pending.add(emit(fi, term, frag, seg, block)); () })
+            maps(fi).clear()
+            fi += 1
+          }
+        }
+
+        private def fill(): Unit = {
+          while (pending.isEmpty && rows.hasNext) {
+            val r = rows.next()
+            val seg = r.getInt(segIdx)
+            val doc = r.getInt(docIdx)
+            val block = doc >>> blockBits
+            if (seg != curSeg || block != curBlock) {
+              // docs arrive in (segment, docId) order, so an ended block can
+              // never receive postings again in this partition — flush it
+              flushAll(curSeg, curBlock)
+              curSeg = seg
+              curBlock = block
+            }
+            var fi = 0
+            while (fi < nFields) {
+              val tok = r.getAs[Row](tokIdxs(fi))
+              val norm = tok.getInt(1).toByte
+              val groups = tok.getSeq[Row](2)
+              val withPos = withPosArr(fi)
+              val m = maps(fi)
+              var gi = 0
+              while (gi < groups.length) {
+                val g = groups(gi)
+                val term = g.getString(0)
+                val tf = g.getInt(1)
+                var frag = m.get(term)
+                if (frag == null) {
+                  frag = new Frag
+                  if (withPos) frag.posChunks =
+                    new scala.collection.mutable.ArrayBuffer[Array[Byte]](8)
+                  m.put(term, frag)
+                }
+                frag.docIds += doc
+                frag.tfs += tf
+                frag.norms += norm
+                if (tf > frag.maxTf) frag.maxTf = tf
+                val ni = norm & 0xFF
+                if (ni < frag.minNorm) frag.minNorm = ni
+                frag.sumTf += tf
+                if (withPos) {
+                  val pb = g.getAs[Array[Byte]](2)
+                  frag.posChunks += pb
+                  frag.posLen += pb.length
+                }
+                gi += 1
+              }
+              fi += 1
+            }
+          }
+          if (pending.isEmpty && !rows.hasNext && !finalFlushDone) {
+            finalFlushDone = true
+            flushAll(curSeg, curBlock)
+          }
+        }
+
+        def hasNext: Boolean = { fill(); !pending.isEmpty }
+        def next(): Row = { fill(); pending.poll() }
+      }
+    }(Encoders.row(packSchema))
+
+    // reduce: HASH-shuffle the packed fragments on (segment, field, term) and
+    // merge the (rare) partition-boundary splits; single-fragment blocks pass
+    // through with zero decode. Hash, not range: RangePartitioning runs a
+    // sampling job that would EXECUTE THE ENTIRE MAP-SIDE PACK A SECOND TIME
+    // just to pick bounds. Hash keeps all of a term's blocks in one file per
+    // segment, and the within-partition sort below keeps row-group min/max
+    // stats tight for term-predicate pruning — the pruning queries actually
+    // use; only cross-FILE range locality is given up.
+    fragments
+      .repartition(parts, col("segment_id"), col("field"), col("term"))
+      .sortWithinPartitions("segment_id", "field", "term", "block_id", "first_doc")
+      .mapPartitions { rows =>
+        val it = rows.buffered
+        new Iterator[Row] {
+          def hasNext: Boolean = it.hasNext
+          def next(): Row = {
+            val head = it.next()
+            if (!it.hasNext || !sameKey(head, it.head)) head
+            else {
+              val run = scala.collection.mutable.ArrayBuffer(head)
+              while (it.hasNext && sameKey(head, it.head)) run += it.next()
+              mergeFragments(run.toSeq)
+            }
+          }
+        }
+      }(Encoders.row(packSchema))
+  }
+
+  private def sameKey(a: Row, b: Row): Boolean =
+    a.getInt(2) == b.getInt(2) && a.getInt(3) == b.getInt(3) &&
+      a.getString(0) == b.getString(0) && a.getString(1) == b.getString(1)
+
+  /** Merge fragments of one (segment, field, term, block), ordered by
+    * first_doc: binary runs concatenate; only each later run's leading
+    * absolute docId varint is rewritten as a delta from the previous run's
+    * last docId — yielding bytes identical to a single-pass pack.
+    */
+  private def mergeFragments(run: Seq[Row]): Row = {
+    var docLen = 0
+    var tfLen = 0
+    var normLen = 0
+    var posLen = 0
+    run.foreach { r =>
+      docLen += r.getAs[Array[Byte]](10).length
+      tfLen += r.getAs[Array[Byte]](11).length
+      normLen += r.getAs[Array[Byte]](12).length
+      val p = r.getAs[Array[Byte]](13)
+      if (p != null) posLen += p.length
+    }
+    val doc = new scala.collection.mutable.ArrayBuffer[Byte](docLen + run.size * 5)
+    val tfs = new Array[Byte](tfLen)
+    val norms = new Array[Byte](normLen)
+    val pos = if (run.head.get(13) == null) null else new Array[Byte](posLen)
+    var tfO = 0
+    var nO = 0
+    var pO = 0
+    var prevLast = -1
+    var count = 0
+    var maxTf = 0
+    var minNorm = 255
+    var sumTf = 0L
+    run.foreach { r =>
+      val db = r.getAs[Array[Byte]](10)
+      if (prevLast < 0) db.foreach(doc += _)
+      else {
+        // skip the absolute first-doc varint, re-encode as delta
+        var p = 0
+        while ((db(p) & 0x80) != 0) p += 1
+        p += 1
+        PostingCodec.writeVarInt(doc, r.getInt(5) - prevLast)
+        var i = p
+        while (i < db.length) { doc += db(i); i += 1 }
+      }
+      prevLast = r.getInt(6)
+      val tb = r.getAs[Array[Byte]](11)
+      System.arraycopy(tb, 0, tfs, tfO, tb.length); tfO += tb.length
+      val nb = r.getAs[Array[Byte]](12)
+      System.arraycopy(nb, 0, norms, nO, nb.length); nO += nb.length
+      if (pos != null) {
+        val pb = r.getAs[Array[Byte]](13)
+        System.arraycopy(pb, 0, pos, pO, pb.length); pO += pb.length
+      }
+      count += r.getInt(4)
+      if (r.getInt(7) > maxTf) maxTf = r.getInt(7)
+      if (r.getInt(8) < minNorm) minNorm = r.getInt(8)
+      sumTf += r.getLong(9)
+    }
+    val docB = doc.toArray
+    val bytes = docB.length.toLong + tfs.length + norms.length +
+      (if (pos == null) 0 else pos.length)
+    val h = run.head
+    Row(h.getString(0), h.getString(1), h.getInt(2), h.getInt(3),
+      count, h.getInt(5), prevLast, maxTf, minNorm, sumTf,
+      docB, tfs, norms, pos, bytes)
   }
 
   private val timing = sys.env.get("GRAFT_BUILD_TIMING").contains("1")
@@ -263,7 +571,7 @@ object IndexBuilder {
     val needed = (schema.fields.map(_.name) ++ schema.storedFields).distinct
       .filterNot(_ == schema.keyField)
     require(
-      !needed.exists(Set("doc_id", "segment_id", "key", "__key").contains),
+      !needed.exists(Set("doc_id", "segment_id", "key", "__key", "__shard").contains),
       "reserved column name in schema fields: doc_id/segment_id/key")
     val keyed = pages
       .select((schema.keyColumn.as("__key") +: needed.map(col)): _*)
@@ -287,20 +595,27 @@ object IndexBuilder {
       Seq(col("segment_id"), col("__key")) ++
         schema.storedFields.map(col) ++
         schema.fields.map(f => tokUdfs(f.name)(col(f.name).cast(StringType)).as(s"__tok_${f.name}"))
-    val sortedTok = keyed
-      .repartitionByRange(parts, col("segment_id"), col("__key"))
-      .sortWithinPartitions(col("segment_id"), col("__key"))
-      .select(keepCols: _*)
+    val sortedTok = shardAndSort(keyed, parts, keepCols)
 
-    val (analyzed, sortedHandle, totalDocs) =
-      timed("tokenize+sort+docids")(assignDocIds(sortedTok, parts, conf.persist))
-    // output-file partitioning scales with data, not with task parallelism —
-    // groupBy/pack stages stay `parts`-wide for CPU, but final writes coalesce
-    // so small builds don't scatter thousands of tiny parquet files
+    // per-segment token totals piggy-back on the pass-1 docId aggregation —
+    // the cache-materializing scan pays for the group-by anyway, so neither
+    // a separate stats job nor per-row CollectMetrics during the docs write
+    // is needed (both showed up as the worst-scaling serial tail)
+    val lenAggs = schema.fields.map(f => sum(col(s"__tok_${f.name}.len")).as(s"tt_${f.name}"))
+    val (analyzed, sortedHandle, totalDocs, segAggs) =
+      timed("tokenize+sort+docids")(assignDocIds(sortedTok, parts, conf.persist, lenAggs))
+    // stat output files stay data-proportional (tiny tables)
     def outParts(rowsPerPart: Long): Int =
       math.max(1, math.min(parts.toLong, totalDocs / rowsPerPart + 1)).toInt
+    val segStats: Seq[SegStat] = segAggs.toSeq.sortBy(_._1).map { case (seg, r) =>
+      SegStat(seg, r.getLong(0),
+        schema.fields.zipWithIndex.map { case (f, i) => f.name -> r.getLong(1 + i) }.toMap)
+    }
 
     // ---- docs table (doc store + fast fields + fieldnorms) ----
+    // written DIRECTLY from the cached (segment, key)-sorted partitions: no
+    // shuffle, no wave quantization — every core writes its own partition
+    // range, files stay sorted by doc_id within each segment dir
     val docsDf = analyzed.select(
       (Seq(col("segment_id"), col("doc_id"), col("__key").as("key")) ++
         schema.storedFields.map(col) ++
@@ -309,77 +624,45 @@ object IndexBuilder {
             col(s"__tok_${f.name}.len").as(s"len_${f.name}"),
             col(s"__tok_${f.name}.norm").as(s"norm_${f.name}")))): _*
     )
-    // per-segment doc counts + token totals are OBSERVED during the write
-    // job itself (CollectMetrics) — a separate aggregation job re-scanned
-    // the cached tokens and added a serial job to the driver-coordinated
-    // tail, the part that caps N→4N scaling
-    val segIds = (segOffset until segOffset + conf.numSegments).toSeq
-    val obsAggs: Seq[org.apache.spark.sql.Column] = segIds.flatMap { s =>
-      count(when(col("segment_id") === s, 1)).as(s"n_$s") +:
-        schema.fields.map(f =>
-          sum(when(col("segment_id") === s, col(s"len_${f.name}"))).as(s"tt_${s}_${f.name}"))
-    }
-    val obs = org.apache.spark.sql.Observation()
-    // 16k-row output chunks: file count still scales with DATA (not cores),
-    // but the write stage keeps every core busy — 64k-row chunks gave a
-    // 5-task write that idled 3 of 8 cores and cost ~0.2 scaling efficiency
-    timed("docs-write")(docsDf
-      .observe(obs, obsAggs.head, obsAggs.tail: _*)
-      .repartitionByRange(outParts(16384), col("segment_id"), col("doc_id"))
-      .sortWithinPartitions("segment_id", "doc_id")
-      .write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("segment_id")
-      .parquet(s"$indexDir/docs"))
-    val obsRow = obs.get
-    val segStats: Seq[SegStat] = segIds.flatMap { s =>
-      val n = obsRow(s"n_$s").asInstanceOf[Long]
-      if (n == 0) None
-      else Some(SegStat(s, n,
-        schema.fields.map(f =>
-          f.name -> Option(obsRow(s"tt_${s}_${f.name}")).fold(0L)(_.asInstanceOf[Long])).toMap))
+    // the docs write and the posting pack both read the (already
+    // materialized) cache and write disjoint outputs — run them as
+    // CONCURRENT jobs so neither adds a serial wall-clock segment
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val docsJob = Future {
+      timed("docs-write")(docsDf
+        .write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("segment_id")
+        .parquet(s"$indexDir/docs"))
     }
 
-    // ---- posting blocks ----
-    val tokensPerField = schema.fields.map { f =>
-      analyzed
-        .select(
-          col("segment_id"),
-          col("doc_id"),
-          lit(f.name).as("field"),
-          col(s"__tok_${f.name}.norm").as("norm_id"),
-          explode(col(s"__tok_${f.name}.terms")).as("tok")
-        )
-        .select(
-          col("segment_id"),
-          col("doc_id"),
-          col("field"),
-          col("tok.term").as("term"),
-          col("tok.tf").as("tf"),
-          col("norm_id"),
-          col("tok.positions").as("positions")
-        )
-    }
-    val tokens = tokensPerField.reduce(_ unionByName _)
+    // ---- posting blocks (map-side pack + fragment-merge shuffle) ----
     val recordPositions = schema.fields.map(f => f.name -> (f.record == "position")).toMap
 
     timed("postings-pack-write")(
-      packPostings(tokens, conf.blockBits, parts, recordPositions).write
+      packFromAnalyzed(analyzed, schema.fields, conf.blockBits, parts, recordPositions).write
         .mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("segment_id")
         .parquet(s"$indexDir/postings"))
+    Await.result(docsJob, Duration.Inf)
 
     // stats re-read ONLY the narrow stat columns of the written blocks —
     // column pruning makes this far cheaper than caching the full blocks
     // (persisting them serialized every posting binary through the columnar
     // cache, a memory-bandwidth tax the pack stage paid at every core count)
+    val segIds = (segOffset until segOffset + conf.numSegments).toSeq
     val statCols = spark.read.parquet(s"$indexDir/postings")
       .filter(col("segment_id").isin(segIds.map(Integer.valueOf): _*))
       .select("segment_id", "field", "term", "doc_count", "sum_tf", "posting_bytes")
+    // termstats is ~vocab-sized, orders of magnitude below docs — 64k-doc
+    // chunks keep its write at a handful of tasks instead of `parts` tiny
+    // ones (24 near-empty tasks measured 4× the run-time of 6)
     val segs = timed("stats+metrics")(writeStats(spark, schema, indexDir, buildId, statCols,
-      segStats, outParts(4096), mergeDepth, parentSegments))
+      segStats, outParts(65536), mergeDepth, parentSegments))
 
     sortedHandle.unpersist()
     segs
@@ -414,16 +697,17 @@ object IndexBuilder {
         sum("posting_bytes").as("pb"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // the termstats write and the docs aggregation are independent — run
-    // them as CONCURRENT Spark jobs so this driver-coordinated tail doesn't
-    // serialize (it was the worst-scaling phase: 0.44 efficiency 2c→8c)
+    // the three stat outputs are mutually independent — run them as FULLY
+    // CONCURRENT Spark jobs so this driver-coordinated tail pays one job
+    // latency, not three (it was the worst-scaling phase: 0.44 efficiency
+    // 2c→8c, a fixed ~1-2 s tail both core counts pay)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val termstatsJob = Future {
       termLevel
         .select("segment_id", "field", "term", "df", "total_tf")
-        .repartitionByRange(statParts, col("segment_id"), col("field"), col("term"))
+        .repartition(statParts, col("segment_id"), col("field"), col("term"))
         .sortWithinPartitions("segment_id", "field", "term")
         .write
         .mode("overwrite")
@@ -432,8 +716,8 @@ object IndexBuilder {
         .parquet(s"$indexDir/termstats")
     }
 
-    // fieldstats + metrics rows assemble driver-side from the stats observed
-    // during the docs write — no extra aggregation job
+    // fieldstats rows assemble driver-side from the pass-1 piggy-backed
+    // aggregates — no extra aggregation job
     val fsRows = segStats.flatMap { st =>
       schema.fields.map(f =>
         Row(f.name, st.nDocs, st.tokensByField(f.name), st.segmentId))
@@ -454,23 +738,9 @@ object IndexBuilder {
     }
 
     // ---- per-segment metrics (north-rule lineage table) ----
-    // the tiny per-segment agg over the cached term-level stats runs
-    // concurrently with the termstats/fieldstats write jobs
-    val segPostingsJob = Future {
-      termLevel
-        .groupBy("segment_id")
-        .agg(sum("pb").as("posting_bytes"), count(lit(1)).as("num_terms"))
-        .collect()
-        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
-        .toMap
-    }
-    val segPostings = Await.result(segPostingsJob, Duration.Inf)
-    val now = new java.sql.Timestamp(System.currentTimeMillis())
-    val parents = parentSegments.map(_.toString).toArray
-    val metricRows = segStats.map { st =>
-      val (bytes, terms) = segPostings.getOrElse(st.segmentId, (0L, 0L))
-      Row(buildId, st.segmentId, st.nDocs, terms, bytes, mergeDepth, parents, now)
-    }
+    // the tiny per-segment agg over the cached term-level stats chains into
+    // the metrics write inside ITS OWN future, concurrent with both stat
+    // writes above
     val mSchema = StructType(Seq(
       StructField("build_id", StringType, false),
       StructField("segment_id", IntegerType, false),
@@ -480,11 +750,26 @@ object IndexBuilder {
       StructField("merge_depth", IntegerType, false),
       StructField("parent_segments", ArrayType(StringType, false), false),
       StructField("created_at", TimestampType, false)))
-    spark
-      .createDataFrame(spark.sparkContext.parallelize(metricRows.toSeq, 1), mSchema)
-      .write
-      .mode("append")
-      .parquet(s"$indexDir/metrics")
+    val metricsJob = Future {
+      val segPostings = termLevel
+        .groupBy("segment_id")
+        .agg(sum("pb").as("posting_bytes"), count(lit(1)).as("num_terms"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      val now = new java.sql.Timestamp(System.currentTimeMillis())
+      val parents = parentSegments.map(_.toString).toArray
+      val metricRows = segStats.map { st =>
+        val (bytes, terms) = segPostings.getOrElse(st.segmentId, (0L, 0L))
+        Row(buildId, st.segmentId, st.nDocs, terms, bytes, mergeDepth, parents, now)
+      }
+      spark
+        .createDataFrame(spark.sparkContext.parallelize(metricRows.toSeq, 1), mSchema)
+        .write
+        .mode("append")
+        .parquet(s"$indexDir/metrics")
+    }
+    Await.result(metricsJob, Duration.Inf)
     Await.result(termstatsJob, Duration.Inf)
     Await.result(fieldstatsJob, Duration.Inf)
     termLevel.unpersist()

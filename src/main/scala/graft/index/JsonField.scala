@@ -173,7 +173,8 @@ object JsonField {
     val groups = new Array[IndexBuilder.TermGroup](terms.size)
     var i = 0
     terms.forEach { (term, ps) =>
-      groups(i) = IndexBuilder.TermGroup(term, ps.length, ps.toArray)
+      groups(i) = IndexBuilder.TermGroup(
+        term, ps.length, PostingCodec.packDocPositions(ps.toArray))
       i += 1
     }
     IndexBuilder.TokField(totalTokens, FieldNorm.encode(totalTokens.toLong), groups)

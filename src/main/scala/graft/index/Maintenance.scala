@@ -8,9 +8,12 @@ import graft.search.IndexReader
 
 /** Decoded posting entry with optional positions (top-level: Janino codegen
   * cannot construct deeply nested case classes — a `Maintenance$FullEntry`
-  * fell back to interpreted projections on every merge).
+  * fell back to interpreted projections on every merge). Positions stay in
+  * their per-doc packed byte form ([[PostingCodec.slicePositions]]): docId
+  * rebasing never touches doc-internal positions, so the merge moves them
+  * as opaque bytes.
   */
-final case class FullEntry(doc_id: Int, tf: Int, norm_id: Int, positions: Array[Int])
+final case class FullEntry(doc_id: Int, tf: Int, norm_id: Int, positions: Array[Byte])
 
 /** Index maintenance: segment merges, merge policies, vacuum, delete-by-set,
   * incremental upsert ingestion — the write-path operators W1–W9 of
@@ -26,7 +29,7 @@ object Maintenance {
       val tf = PostingCodec.unpackVarInts(tfs, n)
       val ps =
         if (pos == null) null
-        else PostingCodec.unpackPositions(pos, tf)
+        else PostingCodec.slicePositions(pos, tf)
       Array.tabulate(n)(i =>
         FullEntry(ids(i), tf(i), norms(i) & 0xFF, if (ps == null) null else ps(i)))
     })
@@ -64,10 +67,8 @@ object Maintenance {
       .withColumnRenamed("doc_id", "old_doc")
       .withColumnRenamed("key", "__key")
       .withColumn("segment_id", lit(newSeg))
-    val sorted = oldDocs
-      .repartitionByRange(parts, col("segment_id"), col("__key"))
-      .sortWithinPartitions(col("segment_id"), col("__key"))
-    val (withIds, handle, _) = IndexBuilder.assignDocIds(sorted, parts, conf.persist)
+    val sorted = IndexBuilder.shardAndSort(oldDocs, parts, oldDocs.columns.toSeq.map(col))
+    val (withIds, handle, _, _) = IndexBuilder.assignDocIds(sorted, parts, conf.persist)
 
     withIds
       .drop("old_seg", "old_doc")
@@ -123,7 +124,14 @@ object Maintenance {
     //    harmless (old-snapshot readers still see them; new-snapshot readers
     //    never touch the retired segments), whereas clearing before the
     //    publish would let a crash resurrect deleted docs.
-    Snapshots.commit(spark, indexDir, live.filterNot(segIds.contains) :+ newSeg, buildId)
+    //    Frozen attribute of the merged segment = AND of its parents'
+    //    (reference `segment_attributes.rs:62-68`); other segments' frozen
+    //    flags carry forward inside commit.
+    val prevFrozen = reader.snapshot.map(_.frozen).getOrElse(Set.empty[Int])
+    val newFrozen: Set[Int] =
+      if (segIds.forall(prevFrozen.contains)) Set(newSeg) else Set.empty
+    Snapshots.commit(spark, indexDir, live.filterNot(segIds.contains) :+ newSeg, buildId,
+      freeze = newFrozen)
 
     // 5. tombstones of merged segments are baked into the new segment — drop
     clearDeletes(spark, indexDir, segIds)
@@ -155,7 +163,7 @@ object Maintenance {
       .persist()
     termLevel
       .select("segment_id", "field", "term", "df", "total_tf")
-      .repartitionByRange(math.max(parts / 4, 1), col("field"), col("term"))
+      .repartition(math.max(parts / 4, 1), col("field"), col("term"))
       .sortWithinPartitions("field", "term")
       .write
       .mode("overwrite")
@@ -231,19 +239,42 @@ object Maintenance {
 
   // -------------------------------------------------------- merge policies
 
+  /** Mark segments frozen / unfrozen (reference `segment_attributes.rs:10-14`
+    * + `FrozenLogMergePolicy`): frozen segments are excluded from merge
+    * policies and vacuum. The attribute lives in the snapshot, so it
+    * survives restarts and is AND-merged by [[mergeSegments]].
+    */
+  def freezeSegments(
+      spark: SparkSession,
+      indexDir: String,
+      segIds: Seq[Int],
+      frozen: Boolean = true,
+      buildId: String = "freeze"): Snapshot = {
+    val live = Snapshots.latest(spark, indexDir).map(_.segments).getOrElse(
+      sys.error("freezeSegments requires a snapshot-committed index"))
+    require(segIds.forall(live.contains), s"segments not live: ${segIds.filterNot(live.contains)}")
+    if (frozen) Snapshots.commit(spark, indexDir, live, buildId, freeze = segIds.toSet)
+    else Snapshots.commit(spark, indexDir, live, buildId, unfreeze = segIds.toSet)
+  }
+
   /** tantivy-style log merge policy (W4, `merge_policies/log_merge_policy.rs`):
     * bucket live segments by log of doc count; any bucket with >=
     * minNumSegments members is a merge candidate. Driver-side over the
-    * metrics table.
+    * metrics table. Frozen segments are filtered out exactly as the
+    * reference's `FrozenLogMergePolicy` does
+    * (`log_merge_policy.rs:27-43`).
     */
   def logMergeCandidates(
       segDocs: Seq[(Int, Long)],
       minNumSegments: Int = 8,
       maxDocsBeforeMerge: Long = 10_000_000L,
       minLayerSize: Long = 10_000L,
-      levelLogSize: Double = 0.75
+      levelLogSize: Double = 0.75,
+      frozen: Set[Int] = Set.empty
   ): Seq[Seq[Int]] = {
-    val eligible = segDocs.filter(_._2 <= maxDocsBeforeMerge).sortBy(-_._2)
+    val eligible = segDocs
+      .filterNot(s => frozen.contains(s._1))
+      .filter(_._2 <= maxDocsBeforeMerge).sortBy(-_._2)
     if (eligible.isEmpty) return Nil
     def logSize(n: Long): Double = math.log(math.max(n, minLayerSize).toDouble)
     val out = Vector.newBuilder[Seq[Int]]
@@ -270,15 +301,16 @@ object Maintenance {
   }
 
   /** Temporal merge policy (W5, `merge_policies/temporal_merge_policy.rs:26-53`):
-    * one candidate of every live segment older than the pivot.
+    * one candidate of every live, non-frozen segment older than the pivot.
     */
   def temporalMergeCandidates(
       segCreatedAt: Seq[(Int, Long)],
       mergeOlderThanSecs: Long,
-      nowMillis: Long = System.currentTimeMillis()
+      nowMillis: Long = System.currentTimeMillis(),
+      frozen: Set[Int] = Set.empty
   ): Seq[Seq[Int]] = {
     val pivot = nowMillis - mergeOlderThanSecs * 1000
-    val old = segCreatedAt.filter(_._2 < pivot).map(_._1)
+    val old = segCreatedAt.filterNot(s => frozen.contains(s._1)).filter(_._2 < pivot).map(_._1)
     if (old.isEmpty) Nil else Seq(old)
   }
 
@@ -317,7 +349,8 @@ object Maintenance {
     var more = true
     while (more) {
       val stats = liveSegmentStats(spark, indexDir).map(t => (t._1, t._2))
-      val cands = logMergeCandidates(stats, minNumSegments = minNumSegments)
+      val frozen = Snapshots.latest(spark, indexDir).map(_.frozen).getOrElse(Set.empty[Int])
+      val cands = logMergeCandidates(stats, minNumSegments = minNumSegments, frozen = frozen)
       if (cands.isEmpty) more = false
       else {
         cands.foreach { segIds =>
@@ -330,7 +363,8 @@ object Maintenance {
   }
 
   /** Vacuum (W6, `index_writer_holder.rs:425-461`): merge all live,
-    * non-excluded segments into one.
+    * non-excluded, non-frozen segments into one (the reference's
+    * `!is_frozen && !is_excluded` filter, `index_writer_holder.rs:438-448`).
     */
   def vacuum(
       spark: SparkSession,
@@ -340,20 +374,42 @@ object Maintenance {
       excludedSegments: Set[Int] = Set.empty,
       conf: IndexBuilder.BuildConf = IndexBuilder.BuildConf()
   ): Option[Int] = {
-    val live = Snapshots.latest(spark, indexDir).map(_.segments).getOrElse(Nil)
-    val targets = live.filterNot(excludedSegments.contains)
+    val snap = Snapshots.latest(spark, indexDir)
+    val live = snap.map(_.segments).getOrElse(Nil)
+    val frozen = snap.map(_.frozen).getOrElse(Set.empty[Int])
+    val targets = live.filterNot(excludedSegments.contains).filterNot(frozen.contains)
     if (targets.size < 2) None
     else Some(mergeSegments(spark, indexDir, schema, targets, buildId, conf))
   }
 
   // ----------------------------------------------------- incremental ingest
 
+  /** Upsert conflict handling, mirroring the reference's four strategies
+    * (`summa-proto/proto/index_service.proto:134-139`, implemented by
+    * `resolve_conflicts`, `index_writer_holder.rs:290-332`).
+    */
   sealed trait ConflictStrategy
   object ConflictStrategy {
-    /** keep existing docs, drop incoming conflicts (`DO_NOTHING`). */
+    /** No conflict resolution at all (`DO_NOTHING`): incoming docs are
+      * indexed as-is and duplicate keys may coexist — the reference docs
+      * recommend this for large updates where the application maintains
+      * uniqueness itself.
+      */
     case object DoNothing extends ConflictStrategy
-    /** tombstone existing docs sharing a key, index incoming (`OVERWRITE`). */
+    /** Tombstone existing docs sharing a key, index incoming (`OVERWRITE`). */
     case object Overwrite extends ConflictStrategy
+    /** `OVERWRITE_ALWAYS` — same delete-then-add at this layer; the
+      * reference core's `resolve_conflicts` also treats every
+      * non-DO_NOTHING strategy as delete-by-unique-term then add.
+      */
+    case object OverwriteAlways extends ConflictStrategy
+    /** `MERGE`: field-wise coalesce of the incoming doc over the latest
+      * existing version before re-indexing — a null/absent incoming field
+      * keeps the existing value. Only fields present in the doc store
+      * (key + storedFields) can be recovered from the index; indexed-only
+      * fields always come from the incoming doc.
+      */
+    case object Merge extends ConflictStrategy
   }
 
   /** Incremental ingestion with upsert semantics (S2 + W7: index_bulk +
@@ -377,30 +433,56 @@ object Maintenance {
     val live = reader.snapshot.map(_.segments).getOrElse(Nil)
     val segOffset = if (live.isEmpty) 0 else live.max + 1
 
-    // bootstrapping a fresh index: no existing docs, no conflicts
-    val toIndex = if (live.isEmpty) newDocs
-    else {
-      val incomingKeys = newDocs
-        .select(schema.keyColumn.as("key")).distinct()
-      strategy match {
-        case ConflictStrategy.Overwrite =>
+    // bootstrapping a fresh index: no existing docs, no conflicts.
+    // Conflict tombstones are DEFERRED until after the new segments are
+    // built: the Merge strategy's coalesce source reads the pre-delete doc
+    // store (tombstoning first would erase it mid-plan), and deferral also
+    // shrinks the window in which live readers see deletes without their
+    // replacements. (reader.docs is pinned to the current snapshot, so the
+    // deferred conflict scan never sees the segments being built.)
+    lazy val incomingKeys = newDocs
+      .select(schema.keyColumn.as("key")).distinct()
+    val (toIndex, deferredTombstones): (DataFrame, Option[DataFrame]) =
+      if (live.isEmpty) (newDocs, None)
+      else strategy match {
+        case ConflictStrategy.DoNothing =>
+          // reference `resolve_conflicts` short-circuits for DO_NOTHING:
+          // incoming docs index as-is, duplicate keys may coexist
+          (newDocs, None)
+        case ConflictStrategy.Overwrite | ConflictStrategy.OverwriteAlways =>
           // tombstone every live doc sharing a key with the incoming batch
           val conflicts = reader.docs
             .join(incomingKeys, Seq("key"))
             .select("segment_id", "doc_id")
-          deleteDocs(spark, indexDir, conflicts)
-          newDocs
-        case ConflictStrategy.DoNothing =>
-          val existing = reader.docs.select(col("key")).distinct()
-          newDocs.join(
-            existing.withColumnRenamed("key", "__existing_key"),
-            schema.keyColumn === col("__existing_key"),
-            "left_anti")
+          (newDocs, Some(conflicts))
+        case ConflictStrategy.Merge =>
+          // field-wise coalesce of incoming over the LATEST existing stored
+          // version of each conflicting key, then overwrite. Only columns
+          // recoverable from the doc store participate; the per-key window
+          // is partitioned by key, so it scales with the batch, not the index.
+          val conflicts = reader.applyDeletes(reader.docs)
+            .join(incomingKeys, Seq("key"))
+          val mergeCols = schema.storedFields.filter(newDocs.columns.contains)
+          val merged =
+            if (mergeCols.isEmpty) newDocs
+            else {
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy("key").orderBy(col("segment_id").desc, col("doc_id").desc)
+              val latest = conflicts
+                .withColumn("__rn", row_number().over(w))
+                .filter(col("__rn") === 1)
+                .select(col("key").as("__mkey") +: mergeCols.map(f => col(f).as(s"__old_$f")): _*)
+              val joined = newDocs.join(latest, schema.keyColumn === col("__mkey"), "left")
+              mergeCols
+                .foldLeft(joined)((df, f) => df.withColumn(f, coalesce(col(f), col(s"__old_$f"))))
+                .drop("__mkey" +: mergeCols.map(f => s"__old_$f"): _*)
+            }
+          (merged, Some(conflicts.select("segment_id", "doc_id")))
       }
-    }
 
     val segs = IndexBuilder.buildSegments(
       spark, toIndex, schema, indexDir, buildId, conf, segOffset)
+    deferredTombstones.foreach(deleteDocs(spark, indexDir, _))
     Snapshots.commit(spark, indexDir, live ++ segs, buildId)
     segs
   }

@@ -83,6 +83,51 @@ object PostingCodec {
     buf.toArray
   }
 
+  /** Pack ONE doc's position list (absolute first, then deltas) — the
+    * per-doc unit of the block layout above. Because each doc's run restarts
+    * its delta base, a posting block's `positions` bytes are EXACTLY the
+    * concatenation of these per-doc packs, so the tokenizer can pre-pack
+    * positions once and every later stage (shuffle, cache, block pack,
+    * merge) moves ~1-2 bytes per occurrence instead of a 4-byte-per-element
+    * array — the dominant memory-bandwidth term of the build shuffle.
+    */
+  def packDocPositions(ps: Array[Int]): Array[Byte] = {
+    val buf = new ArrayBuffer[Byte](ps.length + 1)
+    var prev = 0
+    var first = true
+    var i = 0
+    while (i < ps.length) {
+      val p = ps(i)
+      writeVarInt(buf, if (first) p else p - prev)
+      prev = p
+      first = false
+      i += 1
+    }
+    buf.toArray
+  }
+
+  /** Split a block's `positions` bytes back into per-doc byte runs (no
+    * decode — varints are only walked to find the boundaries). The merge
+    * path uses this to carry positions through docId rebasing untouched.
+    */
+  def slicePositions(bytes: Array[Byte], tfs: Array[Int]): Array[Array[Byte]] = {
+    val out = new Array[Array[Byte]](tfs.length)
+    var p = 0
+    var d = 0
+    while (d < tfs.length) {
+      val start = p
+      var k = tfs(d)
+      while (k > 0) {
+        while ((bytes(p) & 0x80) != 0) p += 1
+        p += 1
+        k -= 1
+      }
+      out(d) = java.util.Arrays.copyOfRange(bytes, start, p)
+      d += 1
+    }
+    out
+  }
+
   def unpackDocIds(bytes: Array[Byte], count: Int): Array[Int] = {
     val r = new Reader(bytes)
     val out = new Array[Int](count)

@@ -15,7 +15,18 @@ import org.apache.spark.sql.SparkSession
   * Old segment data stays on disk until explicitly dropped, so readers
   * holding an older snapshot stay consistent.
   */
-final case class Snapshot(version: Int, segments: Seq[Int], buildId: String, createdAt: Long)
+final case class Snapshot(
+    version: Int,
+    segments: Seq[Int],
+    buildId: String,
+    createdAt: Long,
+    /** Segment ids marked frozen (reference
+      * `summa-core/src/components/segment_attributes.rs:10-14`): excluded
+      * from merge policies and vacuum until unfrozen. Persisted in the
+      * snapshot so frozenness survives restarts; carried forward on every
+      * commit, AND-merged when segments merge (`segment_attributes.rs:62-68`).
+      */
+    frozen: Set[Int] = Set.empty)
 
 object Snapshots {
 
@@ -52,41 +63,62 @@ object Snapshots {
     parse(new String(bytes, UTF_8))
   }
 
-  /** Publish the next snapshot version. The destination file is created with
-    * exclusive semantics (`create(dst, overwrite = false)` — atomic on HDFS,
-    * O_EXCL-backed on local FS), so two concurrent committers that compute
-    * the same next version cannot silently overwrite each other: the loser
-    * gets an exception and retries with the following version. The index is
-    * still single-logical-writer (concurrent committers must not retire each
-    * other's segments); this only makes version allocation safe.
+  /** Publish the next snapshot version. The snapshot body is written to a
+    * hidden tmp file and RENAMED into place, so readers either see a complete
+    * version file or none at all (atomic visibility — a reader refreshing
+    * mid-commit must never parse partial bytes). Version allocation stays
+    * exclusive: rename does not replace an existing destination, so of two
+    * concurrent committers computing the same next version exactly one wins
+    * the slot and the loser retries with the following version. Only the
+    * already-exists condition retries — any other IO failure (disk full,
+    * permissions) is rethrown immediately. The index is still
+    * single-logical-writer (concurrent committers must not retire each
+    * other's segments); this only makes version allocation + visibility safe.
+    *
+    * Frozen-segment attributes carry forward automatically: previous frozen ∩
+    * new segment set, plus `freeze`, minus `unfreeze`.
     */
-  def commit(spark: SparkSession, indexDir: String, segments: Seq[Int], buildId: String): Snapshot = {
+  def commit(
+      spark: SparkSession,
+      indexDir: String,
+      segments: Seq[Int],
+      buildId: String,
+      freeze: Set[Int] = Set.empty,
+      unfreeze: Set[Int] = Set.empty): Snapshot = {
     val f = fs(spark, indexDir)
     val d = snapDir(indexDir)
     f.mkdirs(d)
-    var next = latest(spark, indexDir).map(_.version + 1).getOrElse(1)
+    val prev = latest(spark, indexDir)
+    var next = prev.map(_.version + 1).getOrElse(1)
+    val frozen =
+      ((prev.map(_.frozen).getOrElse(Set.empty) ++ freeze) -- unfreeze) & segments.toSet
+    val tmp = new Path(d, s".tmp-${java.util.UUID.randomUUID()}.json")
     var committed: Option[Snapshot] = None
-    var attempts = 0
-    while (committed.isEmpty) {
-      val snap = Snapshot(next, segments.sorted, buildId, System.currentTimeMillis())
-      val dst = new Path(d, f"v$next%06d.json")
-      try {
-        val out = f.create(dst, false) // exclusive: throws if version exists
+    try {
+      var attempts = 0
+      while (committed.isEmpty) {
+        val snap = Snapshot(next, segments.sorted, buildId, System.currentTimeMillis(), frozen)
+        val out = f.create(tmp, true)
         out.write(render(snap).getBytes(UTF_8))
         out.close()
-        committed = Some(snap)
-      } catch {
-        case e: java.io.IOException =>
+        val dst = new Path(d, f"v$next%06d.json")
+        // rename refuses an existing destination on both HDFS and local FS:
+        // a false return (or a pre-flight exists hit) IS the lost-version
+        // race — bump and retry; everything else propagates
+        if (!f.exists(dst) && f.rename(tmp, dst)) committed = Some(snap)
+        else {
           attempts += 1
-          require(attempts < 1000, s"snapshot commit failed after $attempts attempts: $e")
-          next += 1 // lost the version race — try the next slot
+          require(attempts < 1000, s"snapshot commit lost the version race $attempts times")
+          next += 1
+        }
       }
-    }
+    } finally f.delete(tmp, false)
     committed.get
   }
 
   private def render(s: Snapshot): String =
     s"""{"version":${s.version},"segments":[${s.segments.mkString(",")}],""" +
+      s""""frozen":[${s.frozen.toSeq.sorted.mkString(",")}],""" +
       s""""build_id":"${s.buildId.replace("\"", "")}","created_at":${s.createdAt}}"""
 
   private[index] def parse(json: String): Snapshot = {
@@ -101,6 +133,11 @@ object Snapshots {
       if (body.isEmpty) Seq.empty[Int] else body.split(',').map(_.trim.toInt).toSeq
     }
     val buildId = """"build_id":"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1)).getOrElse("")
-    Snapshot(longField("version").toInt, segs, buildId, longField("created_at"))
+    // absent in pre-frozen snapshots — default to none frozen
+    val frozen = """"frozen":\[([0-9, ]*)\]""".r.findFirstMatchIn(json).map { m =>
+      val body = m.group(1).trim
+      if (body.isEmpty) Set.empty[Int] else body.split(',').map(_.trim.toInt).toSet
+    }.getOrElse(Set.empty[Int])
+    Snapshot(longField("version").toInt, segs, buildId, longField("created_at"), frozen)
   }
 }

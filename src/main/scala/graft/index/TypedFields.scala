@@ -68,7 +68,7 @@ object TypedFields {
   def singleTok(term: Option[String]): IndexBuilder.TokField = term match {
     case Some(t) =>
       IndexBuilder.TokField(1, FieldNorm.encode(1L),
-        Array(IndexBuilder.TermGroup(t, 1, Array(0))))
+        Array(IndexBuilder.TermGroup(t, 1, PostingCodec.packDocPositions(Array(0)))))
     case None => IndexBuilder.TokField(0, 0, Array.empty)
   }
 }

@@ -86,6 +86,77 @@ object Similarity {
     cosineTopK(df.filter(tableConds.reduce(_ || _)), idCol, vecCol, query, k)
   }
 
+  /** Materialized multi-table LSH bucket index (the 100-TB shape of
+    * [[annTopK]], mirroring the IVF API): one row per (table, vector) with
+    * its bucket id, written hive-partitioned by `(lsh_table, bucket)` so a
+    * probe reads ONLY the probed bucket partitions — partition-pruned at the
+    * file listing, never a full scan. `annBuild` is a single pass over the
+    * table (nTables signature computations per row, no shuffle: the write
+    * partitions by value at the task level).
+    */
+  def annBuild(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      outDir: String,
+      nTables: Int = 4,
+      nPlanes: Int = 8,
+      seed: Long = 42L
+  ): Unit = {
+    val first = df.select(col(vecCol)).head()
+    val dim = first.getSeq[Any](0).size
+    val perTable = (0 until nTables).map { t =>
+      val planes = hyperplanes(nPlanes, dim, seed + 1000L * t)
+      df.select(
+        lit(t).as("lsh_table"),
+        bucketCol(col(vecCol), planes).as("bucket"),
+        col(idCol).as("id"),
+        asDouble(col(vecCol)).as("v"))
+    }
+    perTable.reduce(_ unionByName _)
+      .write
+      .mode("overwrite")
+      .partitionBy("lsh_table", "bucket")
+      .parquet(outDir)
+  }
+
+  /** Probe the [[annBuild]] index: exact + hamming-1 buckets per table →
+    * partition-pruned read → exact cosine top-k over the (deduped)
+    * candidates. The scan touches `nTables × (nPlanes+1)` bucket partitions
+    * regardless of table size.
+    */
+  def annProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      query: Array[Double],
+      k: Int,
+      nTables: Int = 4,
+      nPlanes: Int = 8,
+      seed: Long = 42L
+  ): DataFrame = {
+    val dim = query.length
+    val probeConds = (0 until nTables).map { t =>
+      val planes = hyperplanes(nPlanes, dim, seed + 1000L * t)
+      val qSig = planes.zipWithIndex.foldLeft(0L) { case (acc, (p, i)) =>
+        val d = p.zip(query).map { case (a, b) => a * b }.sum
+        if (d >= 0) acc | (1L << i) else acc
+      }
+      val probes = qSig +: Array.tabulate(nPlanes)(i => qSig ^ (1L << i))
+      col("lsh_table") === t && col("bucket").isin(probes.map(java.lang.Long.valueOf): _*)
+    }
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    val qc = typedLit(query.toSeq)
+    spark.read.parquet(indexDir)
+      .filter(probeConds.reduce(_ || _)) // partition filters only → pruned listing
+      .select(col("id"), col("v"))
+      .dropDuplicates("id") // a vector can match in several tables
+      .select(
+        col("id").as("vec_id"),
+        round(dot(col("v"), qc) / (norm(col("v")) * lit(qn)), 4).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** IVF (inverted-file) ANN: a k-means coarse quantizer assigns every vector
     * to its nearest centroid; a query scans only the `nprobe` nearest
     * centroid lists (exact cosine within). At 100 TB the assigned table is
@@ -165,7 +236,13 @@ object Similarity {
   }
 
   /** Scale path for embedding near-dup pairs: bucket by hyperplane signature
-    * and compare only within buckets (+ the hamming-1 union for recall).
+    * and compare only within buckets, UNIONED with the hamming-1 probes for
+    * recall — side `a` explodes to its exact bucket plus every one-bit
+    * variant, so any pair whose signatures differ in ≤ 1 plane meets in the
+    * join. Probe rows carry only (id, probe bucket); vectors re-join by id
+    * after the match, so the exploded shuffle stays narrow. Duplicate
+    * meetings (several probes matching the same pair) collapse with a
+    * distinct on the id pair before the exact-cosine verification.
     */
   def lshCosinePairs(
       df: DataFrame,
@@ -182,11 +259,26 @@ object Similarity {
       col(idCol).as("id"),
       asDouble(col(vecCol)).as("v"),
       bucketCol(col(vecCol), planes).as("bucket"))
-    val withNorm = v.withColumn("nrm", norm(col("v")))
-    withNorm.as("a")
-      .join(withNorm.as("b"), col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("cosine", dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+      .withColumn("nrm", norm(col("v")))
+      .persist()
+    // id-only probe table: exact bucket + every hamming-1 variant
+    val variants = lit(0L) +: (0 until nPlanes).map(i => lit(1L << i))
+    val probesA = v.select(
+      col("id").as("id_a"),
+      explode(array(variants.map(col("bucket").bitwiseXOR(_)): _*)).as("probe"))
+    val exactB = v.select(col("id").as("id_b"), col("bucket").as("probe"))
+    val candidates = probesA
+      .join(exactB, probesA("probe") === exactB("probe") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    // exact verification re-joins the full vectors by id
+    val va = v.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val vb = v.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    candidates
+      .join(va, "id_a")
+      .join(vb, "id_b")
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= minCos)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), round(col("cosine"), 4).as("cosine"))
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
   }
 }

@@ -89,9 +89,12 @@ object TextStats {
 
   /** Polynomial rolling-hash fingerprint over whitespace tokens (order
     * sensitive — two docs share the fingerprint iff token sequences match).
+    * Returns the raw signed 64-bit value: plain wrapping arithmetic, so the
+    * DuckDB oracle reproduces it exactly with HUGEINT mod-2^64 folds
+    * (render to hex at the edge if a string form is wanted).
     */
   private val fingerprintUdf = udf { (text: String) =>
-    if (text == null) "0"
+    if (text == null) 0L
     else {
       var h = 1125899906842597L // large prime
       text.split("\\s+").foreach { w =>
@@ -100,7 +103,7 @@ object TextStats {
         while (i < w.length) { wh = wh * 31 + w.charAt(i); i += 1 }
         h = h * 1000003L + wh
       }
-      java.lang.Long.toHexString(h)
+      h
     }
   }
 

@@ -22,6 +22,17 @@ class IndexRegistry {
     searchers.getOrElse(aliases.getOrElse(nameOrAlias, nameOrAlias),
       throw new IllegalArgumentException(s"unknown index: $nameOrAlias"))
 
+  /** Paged serving entry: resolve alias → probe the searcher's collector
+    * cache → search only on miss (`index_holder.rs:460-505`). Returns
+    * (rows, has_next).
+    */
+  def topDocsPage(
+      nameOrAlias: String,
+      q: Query,
+      limit: Int,
+      offset: Int = 0): (Array[org.apache.spark.sql.Row], Boolean) =
+    resolve(nameOrAlias).collectTopDocs(q, limit, offset)
+
   /** Search several indices, merge top-k by score (reference
     * `finalize_extraction` merge shape).
     */
@@ -76,6 +87,37 @@ object Reflection {
       case None    => searcher.reader.docs
     }
     if (fields.isEmpty) base else base.select(fields.map(col): _*)
+  }
+
+  /** Serialize exported docs to the reference's named-document JSON
+    * (`custom_serializer.rs:26-45`): fields configured as `multi_fields`
+    * render as JSON ARRAYS (a scalar column is wrapped, an array column
+    * passes through); every other field collapses to a single value (an
+    * array column keeps its first element, like the reference's
+    * `field_values.get(0)`). Fields are emitted in name-sorted order
+    * (BTreeMap semantics). Output: the key column + a `doc_json` string.
+    */
+  def exportNamedJson(
+      searcher: Searcher,
+      query: Option[Query] = None,
+      fields: Seq[String] = Nil,
+      multiFields: Set[String] = Set.empty
+  ): DataFrame = {
+    val base = exportDocuments(searcher, query)
+    val emit =
+      (if (fields.nonEmpty) fields
+       else base.columns.toSeq.filterNot(Set("segment_id", "doc_id", "score").contains))
+        .sorted
+    val shaped = emit.map { f =>
+      val isArray = base.schema(f).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
+      val c =
+        if (multiFields.contains(f)) { if (isArray) col(f) else array(col(f)) }
+        else if (isArray) element_at(col(f), 1)
+        else col(f)
+      c.as(f)
+    }
+    base.select(col("key") +: shaped: _*)
+      .select(col("key"), to_json(struct(emit.map(col): _*)).as("doc_json"))
   }
 
   /** Warm-up (W10, `index_holder.rs:329-375`): prime postings + stats. */

@@ -79,7 +79,13 @@ class Searcher(
     val reader: IndexReader,
     val schema: IndexSchema,
     /** per-search fieldnorms toggle (reference `query.proto:52`) */
-    val fieldnorms: Boolean = true
+    val fieldnorms: Boolean = true,
+    /** collector cache probed by [[collectTopDocs]] before planning a search
+      * (reference `index_holder.rs:460-505` probe-before-search); None
+      * disables. Defaults to the process-wide shared cache — entries key on
+      * (indexDir, snapshot version, query, window), so sharing is safe.
+      */
+    val collectorCache: Option[CollectorCache] = Some(Searcher.sharedCache)
 ) {
   import PostingUdfs._
 
@@ -418,6 +424,19 @@ class Searcher(
     }
   }
 
+  /** SERVING-path top docs: probe the collector cache before planning any
+    * Spark job (the reference's probe-before-search,
+    * `index_holder.rs:460-505`); a repeated query inside the TTL returns the
+    * cached block slice with zero jobs. Returns (rows, has_next).
+    */
+  def collectTopDocs(q: Query, limit: Int, offset: Int = 0): (Array[org.apache.spark.sql.Row], Boolean) =
+    collectorCache match {
+      case Some(c) => c.topDocs(this, q, limit, offset)
+      case None =>
+        val rows = topDocs(q, limit + 1, offset).collect()
+        (rows.take(limit), rows.length > limit)
+    }
+
   /** Top-k joined back to the doc store (broadcast lookup join — reference
     * analog `index_registry.rs:131-213` fetching stored docs for k hits).
     */
@@ -429,4 +448,12 @@ class Searcher(
   }
 
   def count(q: Query): Long = search(q).count()
+}
+
+object Searcher {
+  /** Process-wide collector cache shared by default across searchers
+    * (reference: one `CollectorCache` per index holder; keys embed index dir
+    * + snapshot version, so one map serves all).
+    */
+  lazy val sharedCache: CollectorCache = new CollectorCache()
 }

@@ -516,7 +516,16 @@ object SummaQL {
       if (v.forall(c => c.isDigit || c == '-') && v.exists(_.isDigit)) 'i'
       else if (scala.util.Try(v.toDouble).isSuccess) 'f'
       else 's'
-    (lo.map(kind).orElse(hi.map(kind)).getOrElse('*')) match {
+    // the kind is inferred per BOUND and the bounds must agree: a range like
+    // `[2010 TO x]` or `[2010 TO 2014.5]` falls back to the string arm (and
+    // i+f widens to f) instead of throwing NumberFormatException out of parse
+    val kinds = Seq(lo, hi).flatten.map(kind)
+    val k =
+      if (kinds.isEmpty) '*'
+      else if (kinds.forall(_ == 'i')) 'i'
+      else if (kinds.forall(c => c == 'i' || c == 'f')) 'f'
+      else 's'
+    k match {
       case '*' =>
         TermRangeQuery(field, Some(s"$path${JsonField.Sep}"),
           Some(s"$path${JsonField.SepNext}"), includeUpper = false)

@@ -96,13 +96,13 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(r2.docs.count() == 100 - bothDocs)
   }
 
-  test("upsert addDocuments: Overwrite replaces, DoNothing keeps") {
+  test("upsert addDocuments: all four reference conflict strategies") {
     val dir = Files.createTempDirectory("graft-upsert").toString
     val df = Seq((1L, "spark window"), (2L, "merge table"), (3L, "scan filter"))
       .toDF("doc_id", "text")
     IndexBuilder.build(spark, df, schema, dir, "b0", IndexBuilder.BuildConf(numSegments = 2))
 
-    // overwrite doc 2 + add doc 4
+    // OVERWRITE: replace doc 2 + add doc 4
     val batch = Seq((2L, "spark spark spark"), (4L, "window query")).toDF("doc_id", "text")
     Maintenance.addDocuments(spark, dir, schema, batch, "up1",
       Maintenance.ConflictStrategy.Overwrite, IndexBuilder.BuildConf(numSegments = 1))
@@ -113,13 +113,115 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(sparkHits == Set("1", "2"))
     assert(s1.count(AllQuery) == 4)
 
-    // DoNothing: conflicting doc 4 dropped, new doc 5 added
+    // OVERWRITE_ALWAYS: delete-then-add at this layer, like the reference's
+    // resolve_conflicts (every non-DO_NOTHING strategy deletes by key)
+    val batchOA = Seq((4L, "filter filter")).toDF("doc_id", "text")
+    Maintenance.addDocuments(spark, dir, schema, batchOA, "up-oa",
+      Maintenance.ConflictStrategy.OverwriteAlways, IndexBuilder.BuildConf(numSegments = 1))
+    val sOA = new Searcher(new IndexReader(spark, dir), schema)
+    assert(sOA.count(TermQuery("text", "query")) == 0, "doc 4's old version must be gone")
+    assert(sOA.count(AllQuery) == 4)
+
+    // DO_NOTHING: no conflict resolution — the reference indexes the doc
+    // as-is and duplicate keys coexist (index_writer_holder.rs:291-293)
     val batch2 = Seq((4L, "merge merge"), (5L, "table scan")).toDF("doc_id", "text")
     Maintenance.addDocuments(spark, dir, schema, batch2, "up2",
       Maintenance.ConflictStrategy.DoNothing, IndexBuilder.BuildConf(numSegments = 1))
     val s2 = new Searcher(new IndexReader(spark, dir), schema)
-    assert(s2.count(TermQuery("text", "merge")) == 0, "doc 4's old version must win")
-    assert(s2.count(AllQuery) == 5)
+    assert(s2.count(TermQuery("text", "merge")) == 1, "new doc 4 indexed alongside old")
+    assert(s2.count(AllQuery) == 6, "both versions of doc 4 coexist")
+  }
+
+  test("upsert Merge coalesces incoming fields over the latest stored doc") {
+    val dir = Files.createTempDirectory("graft-upsert-merge").toString
+    val mschema = IndexSchema(
+      keyField = "doc_id",
+      fields = Seq(FieldDef("text", "summa", "position")),
+      defaultFields = Seq("text"),
+      storedFields = Seq("text", "lang"))
+    val df = Seq((1L, "spark window", "en"), (2L, "merge table", "de"))
+      .toDF("doc_id", "text", "lang")
+    IndexBuilder.build(spark, df, mschema, dir, "b0", IndexBuilder.BuildConf(numSegments = 1))
+
+    // incoming doc 2 has a new text but NO lang: Merge keeps the stored lang
+    val batch = Seq((2L, "fresh words", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "lang")
+    Maintenance.addDocuments(spark, dir, mschema, batch, "m1",
+      Maintenance.ConflictStrategy.Merge, IndexBuilder.BuildConf(numSegments = 1))
+    val r = new IndexReader(spark, dir)
+    val s = new Searcher(r, mschema)
+    assert(s.count(AllQuery) == 2, "one version per key after Merge")
+    assert(s.count(TermQuery("text", "fresh")) == 1, "incoming field wins when present")
+    assert(s.count(TermQuery("text", "merge")) == 0, "old text replaced")
+    val doc2 = r.applyDeletes(r.docs).filter(col("key") === "2").collect()
+    assert(doc2.length == 1 && doc2.head.getAs[String]("lang") == "de",
+      "absent incoming field keeps the stored value")
+
+    // incoming null text + present lang: text comes from the store
+    val batch2 = Seq((2L, null.asInstanceOf[String], "fr")).toDF("doc_id", "text", "lang")
+    Maintenance.addDocuments(spark, dir, mschema, batch2, "m2",
+      Maintenance.ConflictStrategy.Merge, IndexBuilder.BuildConf(numSegments = 1))
+    val s2 = new Searcher(new IndexReader(spark, dir), mschema)
+    assert(s2.count(TermQuery("text", "fresh")) == 1, "text carried from the doc store")
+    val doc2b = {
+      val r2 = new IndexReader(spark, dir)
+      r2.applyDeletes(r2.docs).filter(col("key") === "2").collect()
+    }
+    assert(doc2b.length == 1 && doc2b.head.getAs[String]("lang") == "fr")
+  }
+
+  test("is_frozen persists in snapshots, blocks policies/vacuum, AND-merges") {
+    val dir = Files.createTempDirectory("graft-frozen").toString
+    (0 until 4).foreach { b =>
+      val docs = (0 until 10).map(i => ((b * 100 + i).toLong, s"spark w$i"))
+      Maintenance.addDocuments(spark, dir, schema, docs.toDF("doc_id", "text"),
+        s"b$b", Maintenance.ConflictStrategy.Overwrite, IndexBuilder.BuildConf(numSegments = 1))
+    }
+    val live = Snapshots.latest(spark, dir).get.segments
+    assert(live.size == 4)
+
+    // freeze one segment; the attribute survives a fresh read (restart analog)
+    Maintenance.freezeSegments(spark, dir, Seq(live.head))
+    assert(Snapshots.latest(spark, dir).get.frozen == Set(live.head))
+
+    // policies skip it without any caller-supplied exclusion
+    val stats = live.map(s => (s, 10L))
+    assert(Maintenance.logMergeCandidates(stats, minNumSegments = 4,
+      frozen = Set(live.head)).isEmpty)
+    assert(Maintenance.temporalMergeCandidates(live.map(s => (s, 0L)), 1,
+      nowMillis = 1_000_000L, frozen = Set(live.head)) == Seq(live.tail))
+
+    // vacuum merges only the 3 unfrozen segments
+    val merged = Maintenance.vacuum(spark, dir, schema, "v",
+      conf = IndexBuilder.BuildConf(numSegments = 1))
+    assert(merged.isDefined)
+    val snap = Snapshots.latest(spark, dir).get
+    assert(snap.segments.toSet == Set(live.head, merged.get))
+    assert(snap.frozen == Set(live.head), "frozen flag survives the vacuum commit")
+    assert(new Searcher(new IndexReader(spark, dir), schema).count(AllQuery) == 40)
+
+    // autoCompact also leaves the frozen segment alone: add two more small
+    // segments, compact — the frozen one is never a candidate
+    (4 until 6).foreach { b =>
+      val docs = (0 until 10).map(i => ((b * 100 + i).toLong, s"spark w$i"))
+      Maintenance.addDocuments(spark, dir, schema, docs.toDF("doc_id", "text"),
+        s"b$b", Maintenance.ConflictStrategy.Overwrite, IndexBuilder.BuildConf(numSegments = 1))
+    }
+    assert(Maintenance.autoCompact(spark, dir, schema, "c", minNumSegments = 2,
+      IndexBuilder.BuildConf(numSegments = 1)).nonEmpty)
+    assert(Snapshots.latest(spark, dir).get.frozen == Set(live.head))
+    assert(Snapshots.latest(spark, dir).get.segments.contains(live.head))
+
+    // merging only-frozen segments AND-merges to frozen; mixed → unfrozen
+    Maintenance.freezeSegments(spark, dir, Snapshots.latest(spark, dir).get.segments)
+    val allLive = Snapshots.latest(spark, dir).get.segments
+    val m2 = Maintenance.mergeSegments(spark, dir, schema, allLive, "m2",
+      IndexBuilder.BuildConf(numSegments = 1))
+    assert(Snapshots.latest(spark, dir).get.frozen == Set(m2),
+      "AND of all-frozen parents is frozen")
+    // unfreeze works
+    Maintenance.freezeSegments(spark, dir, Seq(m2), frozen = false)
+    assert(Snapshots.latest(spark, dir).get.frozen.isEmpty)
   }
 
   test("merge policies") {

@@ -133,6 +133,65 @@ class OpsSpec extends AnyFunSuite {
     assert(ann2.head.getLong(0) == 7L)
   }
 
+  test("annBuild/annProbe: partition-pruned probe matches in-memory ANN") {
+    val rnd = new scala.util.Random(11)
+    val dim = 32
+    def unit(v: Array[Double]) = { val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+    val rows = for {
+      c <- 0 until 60
+      center = unit(Array.fill(dim)(rnd.nextGaussian()))
+      m <- 0 until 6
+    } yield ((c * 10 + m).toLong, unit(center.map(_ + rnd.nextGaussian() * 0.08)).map(_.toFloat).toSeq)
+    val df = rows.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx").toString + "/idx"
+    Similarity.annBuild(df, "vec_id", "embedding", dir)
+
+    val q = rows.find(_._1 == 42L * 10).get._2.map(_.toDouble).toArray
+    val probe = Similarity.annProbe(spark, dir, q, 6)
+    // the probe plan must prune bucket partitions, not scan the table
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lsh_table"),
+      s"probe scan must carry partition filters:\n$plan")
+    val got = probe.collect().map(_.getLong(0)).toSet
+    val mem = Similarity.annTopK(df, "vec_id", "embedding", q, 6).collect().map(_.getLong(0)).toSet
+    assert(got == mem, "materialized probe must equal the in-memory ANN result")
+    val exact = Similarity.cosineTopK(df, "vec_id", "embedding", q, 6)
+      .collect().map(_.getLong(0)).toSet
+    assert((exact intersect got).size >= 5)
+  }
+
+  test("lshCosinePairs hamming-1 multiprobe: recall over planted near-dup pairs") {
+    val rnd = new scala.util.Random(23)
+    val dim = 32
+    def unit(v: Array[Double]) = { val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+    // 80 pairs: (2i, 2i+1) are near-dups (cos ~0.95); different pairs are far
+    val rows = (0 until 80).flatMap { i =>
+      val center = unit(Array.fill(dim)(rnd.nextGaussian()))
+      Seq(
+        (2L * i, unit(center.map(_ + rnd.nextGaussian() * 0.035)).map(_.toFloat).toSeq),
+        (2L * i + 1, unit(center.map(_ + rnd.nextGaussian() * 0.035)).map(_.toFloat).toSeq))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = Dedup.cosinePairs(df, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 60, s"planting failed: ${exact.size}")
+    val lsh = Similarity.lshCosinePairs(df, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "exact verification: no false positives")
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.75, s"multiprobe recall too low: $recall")
+    // and the hamming-1 union must beat exact-bucket-only matching: pairs
+    // whose signatures differ in exactly one plane are found
+    val planes = Similarity.hyperplanes(8, dim, 42L)
+    val sig = df.select(col("vec_id"),
+      Similarity.bucketCol(col("embedding"), planes).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oneBit = exact.filter { case (a, b) =>
+      java.lang.Long.bitCount(sig(a) ^ sig(b)) == 1 }
+    assert(oneBit.nonEmpty, "test corpus should contain hamming-1 pairs")
+    assert(oneBit.forall(lsh.contains), "every hamming-1 pair must be recalled")
+  }
+
   test("text stats columns") {
     val df = Seq(
       (1L, "the quick brown fox jumps"),
@@ -161,7 +220,7 @@ class OpsSpec extends AnyFunSuite {
   test("fingerprint is order-sensitive and deterministic") {
     val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("id", "text")
     val fps = df.select($"id", TextStats.fingerprint($"text")).collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fps(1L) == fps(3L))
     assert(fps(1L) != fps(2L))
   }

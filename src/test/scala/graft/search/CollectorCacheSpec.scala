@@ -65,6 +65,26 @@ class CollectorCacheSpec extends AnyFunSuite {
     assert(!hnEnd)
   }
 
+  test("serving path: repeated collectTopDocs triggers NO Spark job") {
+    val dir = buildIndex(150)
+    val s = new Searcher(new IndexReader(spark, dir), schema) // default shared cache
+    val q = TermQuery("text", "window")
+    val (first, _) = s.collectTopDocs(q, 10, 0) // populates the block
+    assert(first.length == 10)
+    val sc = spark.sparkContext
+    sc.setJobGroup("cc-probe", "collector cache probe", interruptOnCancel = false)
+    try {
+      val (again, _) = s.collectTopDocs(q, 10, 0)
+      assert(again.toSeq == first.toSeq)
+      // paging within the same cached block is also job-free
+      val (page2, _) = s.collectTopDocs(q, 10, 10)
+      assert(page2.length == 10)
+    } finally sc.clearJobGroup()
+    Thread.sleep(500) // status store updates are async
+    assert(sc.statusTracker.getJobIdsForGroup("cc-probe").isEmpty,
+      "a cache hit must not plan or run any Spark job")
+  }
+
   test("a commit invalidates via the snapshot-versioned key") {
     val dir = buildIndex(120)
     val s1 = new Searcher(new IndexReader(spark, dir), schema)

@@ -48,4 +48,33 @@ class RegistrySpec extends AnyFunSuite {
 
     Reflection.warmup(a.reader) // smoke: no exceptions
   }
+
+  test("exportNamedJson: multi_fields render as arrays, others collapse (golden)") {
+    val mschema = IndexSchema(
+      keyField = "doc_id",
+      fields = Seq(FieldDef("text", "summa", "position")),
+      defaultFields = Seq("text"),
+      storedFields = Seq("title", "tags"))
+    val dir = Files.createTempDirectory("graft-reg-json").toString
+    val docs = Seq(
+      (1L, "spark window", "Guide", Seq("reality", "novel")),
+      (2L, "merge table", "Envy", Seq("scifi")))
+      .toDF("doc_id", "text", "title", "tags")
+    IndexBuilder.build(spark, docs, mschema, dir, "nj", IndexBuilder.BuildConf(numSegments = 1))
+    val s = new Searcher(new IndexReader(spark, dir), mschema)
+
+    // reference custom_serializer.rs:26-45: multi-field "tags" → array,
+    // array-typed non-multi collapses to its first value, scalars pass;
+    // fields emit name-sorted (BTreeMap)
+    val multi = Reflection.exportNamedJson(
+      s, fields = Seq("title", "tags"), multiFields = Set("tags"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(multi("1") == """{"tags":["reality","novel"],"title":"Guide"}""")
+    assert(multi("2") == """{"tags":["scifi"],"title":"Envy"}""")
+
+    val collapsed = Reflection.exportNamedJson(
+      s, fields = Seq("title", "tags"), multiFields = Set("title"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(collapsed("1") == """{"tags":"reality","title":["Guide"]}""")
+  }
 }
