@@ -80,6 +80,22 @@ object OracleSql {
     prologue + termScoreCte(term, "t") +
       s"\nSELECT doc_id, round(score, 4) AS score FROM sc_t ORDER BY round(score, 4) DESC, doc_id LIMIT $k"
 
+  /** Explain decomposition oracle: top-k doc set of `boost * term-score`,
+    * one detail row per hit (term, tf, boost, rounded contribution). The
+    * boost multiplication is written identically to the engine's
+    * `scoreCol * lit(boost)` (same double op order).
+    */
+  def explainBoostTopK(term: String, boost: Double, k: Int): String =
+    prologue + termScoreCte(term, "t") +
+      s"""
+         |,top AS (SELECT doc_id, score FROM sc_t
+         |         ORDER BY round(score * CAST($boost AS DOUBLE), 4) DESC, doc_id LIMIT $k)
+         |SELECT p.doc_id, '$term' AS term, CAST(t.tf AS INT) AS tf,
+         |       CAST($boost AS DOUBLE) AS boost,
+         |       round(p.score * CAST($boost AS DOUBLE), 4) AS score
+         |FROM top p JOIN tf_t t ON t.doc_id = p.doc_id
+         |ORDER BY p.doc_id""".stripMargin
+
   def boolMust(t1: String, t2: String): String =
     prologue + termScoreCte(t1, "a") + termScoreCte(t2, "b") +
       """

@@ -123,6 +123,38 @@ object SparkEntry {
       val s = DocsIndex.searcher(sp, dir)
       DocsIndex.scored(s, MatchQuery("spark -window batch")).orderBy("doc_id")
     }),
+    "q_sql_search" -> ((sp, dir) => {
+      // the SQL TVF route: same SummaQL query as q_match_ql, issued through
+      // spark.sql over the injected search(...) table function
+      val s = DocsIndex.searcher(sp, dir)
+      graft.plans.GraftSql.install(sp)
+      graft.plans.GraftSql.registry.register("docs_oracle", s)
+      sp.sql(
+        """SELECT CAST(key AS BIGINT) AS doc_id, round(score, 4) AS score
+          |FROM search('docs_oracle', 'spark -window batch') ORDER BY doc_id""".stripMargin)
+    }),
+    "q_explain" -> ((sp, dir) => {
+      // per-hit explain decomposition (boost path): top-10 for 2.0*vector,
+      // details exploded back out of the explain JSON
+      import org.apache.spark.sql.types._
+      val s = DocsIndex.searcher(sp, dir)
+      val q = BoostQuery(TermQuery("text", "vector"), 2.0)
+      val exSchema = StructType(Seq(
+        StructField("value", DoubleType),
+        StructField("description", StringType),
+        StructField("details", ArrayType(StructType(Seq(
+          StructField("field", StringType), StructField("term", StringType),
+          StructField("kind", StringType), StructField("tf", IntegerType),
+          StructField("norm_id", IntegerType), StructField("idf", DoubleType),
+          StructField("boost", DoubleType), StructField("contribution", DoubleType)))))))
+      s.reader.docs.select(col("segment_id"), col("doc_id"), col("key"))
+        .join(s.explainTopDocs(q, 10), Seq("segment_id", "doc_id"))
+        .select(col("key").cast("long").as("doc_id"),
+          explode(from_json(col("explain"), exSchema).getField("details")).as("d"))
+        .select(col("doc_id"), col("d.term").as("term"), col("d.tf").as("tf"),
+          col("d.boost").as("boost"), round(col("d.contribution"), 4).as("score"))
+        .orderBy("doc_id")
+    }),
 
     // ---- json field: typed dotted-path queries (reference test_json) ----
     "q_json_term" -> ((sp, dir) => {
@@ -373,6 +405,8 @@ object SparkEntry {
       "SELECT doc_id FROM documents WHERE n_chars >= 200 AND n_chars <= 400 ORDER BY doc_id",
     "q_regex" -> OracleSql.regex("s.an"),
     "q_match_ql" -> OracleSql.matchShouldShouldNot("spark", "batch", "window"),
+    "q_sql_search" -> OracleSql.matchShouldShouldNot("spark", "batch", "window"),
+    "q_explain" -> OracleSql.explainBoostTopK("vector", 2.0, 10),
     "q_json_term" ->
       "SELECT doc_id FROM documents WHERE source = 'src3' ORDER BY doc_id",
     "q_json_range" ->

@@ -788,6 +788,9 @@ object IndexBuilder {
       conf: BuildConf = BuildConf()
   ): Unit = {
     val segs = buildSegments(spark, pages, schema, indexDir, buildId, conf)
+    // self-describing index: readers (and the SQL search() table function)
+    // resolve the schema from the dir without caller-side knowledge
+    IndexSchema.write(spark, indexDir, schema)
     Snapshots.commit(spark, indexDir, segs, buildId)
   }
 }

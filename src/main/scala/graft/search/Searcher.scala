@@ -448,6 +448,82 @@ class Searcher(
   }
 
   def count(q: Query): Long = search(q).count()
+
+  /** Leaf (field, term, cumulativeBoost, kind) contributors of a resolved
+    * query tree, for [[explainTopDocs]]. MustNot branches never contribute
+    * score; phrase terms are reported individually (kind `phrase-term`).
+    */
+  private def scoreLeaves(q: Query, boost: Double): Seq[(String, String, Double, String)] =
+    q match {
+      case TermQuery(f, v)       => Seq((f, v, boost, "term"))
+      case PhraseQuery(f, ts, _) => ts.map { case (_, t) => (f, t, boost, "phrase-term") }
+      case BooleanQuery(cs, _) =>
+        cs.collect { case (o, c) if o != Occur.MustNot => scoreLeaves(c, boost) }.flatten
+      case BoostQuery(c, b)           => scoreLeaves(c, boost * b)
+      case DisjunctionMaxQuery(ds, _) => ds.flatMap(scoreLeaves(_, boost))
+      case _                          => Nil
+    }
+
+  /** One leaf term's per-doc score decomposition: tf, fieldnorm, idf, boost
+    * and the resulting BM25 contribution.
+    */
+  private def termDetail(
+      field: String, term: String, boost: Double, kind: String,
+      dfs: Map[(String, String), Long]): Option[DataFrame] = {
+    val df = dfs.getOrElse((field, term), 0L)
+    if (df == 0L) return None
+    val idf = BM25.idf(df, totalDocs(field))
+    Some(reader.postings
+      .filter(col("field") === field && col("term") === term)
+      .select(col("segment_id"),
+        explode(unpack(col("doc_ids"), col("tfs"), col("norms"), col("doc_count"))).as("p"))
+      .select(
+        col("segment_id"), col("p.doc_id").as("doc_id"),
+        lit(field).as("field"), lit(term).as("term"), lit(kind).as("kind"),
+        col("p.tf").as("tf"), col("p.norm_id").as("norm_id"),
+        lit(idf).as("idf"), lit(boost).as("boost"),
+        (BM25.scoreCol(col("p.tf"), col("p.norm_id"), idf, avgdl(field), fieldnorms) *
+          lit(boost)).as("contribution")))
+  }
+
+  /** Top-k with a per-hit `explain` JSON column (reference: the
+    * `TopDocsCollector.explain` flag, `query.proto:245-246`) — each hit's
+    * score decomposed into leaf-term BM25 contributions `(field, term, tf,
+    * fieldnorm id, idf, boost, contribution)`. `term` leaves sum exactly to
+    * the score for pure term/boolean/boost trees; `phrase-term` and dismax
+    * leaves are informational (the combined score is not their plain sum).
+    * The k-row hit set broadcasts into the detail join, so explain costs one
+    * extra pushed-down scan of the query's terms — not a rescore.
+    */
+  def explainTopDocs(q: Query, limit: Int, offset: Int = 0): DataFrame = {
+    val rq = resolve(q)
+    val dfs = reader.termDfs(collectTerms(rq).distinct)
+    val top = topDocs(rq, limit, offset)
+    val details = scoreLeaves(rq, 1.0).distinct
+      .flatMap { case (f, t, b, k) => termDetail(f, t, b, k, dfs) }
+    if (details.isEmpty)
+      return top.withColumn(
+        "explain",
+        to_json(struct(col("score").as("value"), lit("constant score").as("description"))))
+    val joined = details.reduce(_ unionByName _)
+      .join(broadcast(top.select(keys.map(col): _*)), keys, "inner")
+    top
+      .join(
+        joined
+          .groupBy(keys.map(col): _*)
+          .agg(array_sort(collect_list(struct(
+            col("field"), col("term"), col("kind"), col("tf"), col("norm_id"),
+            col("idf"), col("boost"), col("contribution")))).as("details")),
+        keys, "left")
+      .select(
+        col("segment_id"), col("doc_id"), col("score"),
+        to_json(struct(
+          col("score").as("value"),
+          lit("sum of leaf contributions (term exact; phrase-term/dismax informational)")
+            .as("description"),
+          col("details"))).as("explain"))
+      .orderBy(col("score").desc, col("segment_id").asc, col("doc_id").asc)
+  }
 }
 
 object Searcher {

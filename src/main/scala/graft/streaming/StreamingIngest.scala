@@ -82,7 +82,18 @@ object StreamingIngest {
       checkpointDir: String,
       conf: IndexBuilder.BuildConf = IndexBuilder.BuildConf(numSegments = 1),
       strategy: Maintenance.ConflictStrategy = Maintenance.ConflictStrategy.Overwrite,
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      /** compaction scheduling (reference: merge threads run alongside the
+        * consumer and the policy is evaluated at every commit,
+        * `index_writer_holder.rs:391-423`): every `compactEvery` ingested
+        * batches, apply the log-merge policy to a fixpoint via
+        * [[Maintenance.autoCompact]]. 0 disables. Runs inside `foreachBatch`,
+        * so the stream's at-least-once checkpoint ordering is preserved —
+        * a compaction is just another atomic snapshot commit, and readers on
+        * older snapshots are unaffected.
+        */
+      compactEvery: Int = 0,
+      compactMinSegments: Int = 8
   ): StreamingQuery = {
     readSource(spark, source)
       .writeStream
@@ -92,7 +103,13 @@ object StreamingIngest {
         if (!batch.isEmpty) {
           Maintenance.addDocuments(
             spark, indexDir, schema, batch, s"stream-batch-$batchId", strategy, conf)
-          ()
+          // batchId is checkpoint-persistent, so "every Nth micro-batch"
+          // holds across stream restarts (a per-query counter would reset)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+            Maintenance.autoCompact(spark, indexDir, schema,
+              s"stream-compact-$batchId", minNumSegments = compactMinSegments, conf = conf)
+            ()
+          }
         }
       }
       .start()

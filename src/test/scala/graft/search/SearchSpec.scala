@@ -223,4 +223,28 @@ class SearchSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).sortBy(x => (x._1, x._2))
     assert(a.toSeq == b.toSeq)
   }
+
+  test("explainTopDocs: term-leaf contributions sum to the hit score") {
+    val q = BooleanQuery(Seq(
+      (Occur.Must, TermQuery("text", "spark")),
+      (Occur.Should, BoostQuery(TermQuery("text", "window"), 2.0)),
+      (Occur.MustNot, TermQuery("text", "scan"))))
+    val rows = searcher.explainTopDocs(q, 5).collect()
+    val top = searcher.topDocs(q, 5).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq == top.toSeq)
+    rows.foreach { r =>
+      val json = r.getString(3)
+      assert(json.contains("\"value\""))
+      // every term leaf's contribution parses out; they sum to the score
+      val contribs = """"contribution":([-0-9.eE]+)""".r
+        .findAllMatchIn(json).map(_.group(1).toDouble).toSeq
+      assert(contribs.nonEmpty)
+      assert(math.abs(contribs.sum - r.getDouble(2)) < 1e-6)
+      // the boosted leaf carries its cumulative boost
+      if (json.contains("\"term\":\"window\"")) assert(json.contains("\"boost\":2.0"))
+      // must_not leaves never appear
+      assert(!json.contains("\"term\":\"scan\""))
+    }
+  }
 }

@@ -50,6 +50,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(Snapshots.latest(spark, idx).get.version >= 2)
   }
 
+  test("compaction scheduling: segments merge down during ingestion, results intact") {
+    val work = Files.createTempDirectory("graft-stream-compact").toString
+    val src = s"$work/src"
+    val idx = s"$work/index"
+    val ck = s"$work/ck"
+    new java.io.File(src).mkdirs()
+
+    def runStream(): Unit = {
+      val q = StreamingIngest.startFrom(
+        spark, StreamingIngest.Source.Files(src, Seq.empty[(Long, String)].toDF("doc_id", "text").schema),
+        idx, schema, ck,
+        compactEvery = 2, compactMinSegments = 3)
+      q.awaitTermination()
+    }
+
+    (0 until 6).foreach { b =>
+      Seq((b.toLong, s"spark doc$b")).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(src)
+      runStream()
+    }
+    val snap = Snapshots.latest(spark, idx).get
+    // 6 one-segment batches ingested; scheduled autoCompact must have merged
+    assert(snap.segments.size < 6, s"expected compaction, got ${snap.segments}")
+    val s = new Searcher(new IndexReader(spark, idx), schema)
+    assert(s.count(AllQuery) == 6)
+    assert(s.count(TermQuery("text", "spark")) == 6)
+    (0 until 6).foreach(b => assert(s.count(TermQuery("text", s"doc$b")) == 1))
+  }
+
   test("windowed event counts with watermark (streaming plan sanity)") {
     // batch-mode execution of the same plan validates the aggregation shape
     val events = Seq(
