@@ -113,8 +113,9 @@ object Bench {
     // doubling the corpus restores the dilution at the same wall-clock
     val nPages = sys.env.getOrElse("GRAFT_BENCH_PAGES", "600000").toLong
     // median-of-N adjacent (low, high) pairs (single-run variance on this VM
-    // is large enough to flip the >=0.8 scaling gate)
-    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "4").toInt
+    // is large enough to flip the >=0.8 scaling gate); 5 gives the median a
+    // true middle element and two outlier slots per side
+    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "5").toInt
 
     // RAM-backed workdir when available: the sandbox's host disk bandwidth
     // fluctuates ±40% run-to-run, which dominated single-build variance and
@@ -190,11 +191,23 @@ object Bench {
       bwMax = math.max(bwMax, bw)
       bw >= minBwFrac * bwMax
     }
-    while (accepted < reps && attempts < maxAttempts) {
+    // consecutive instrument skips are capped: on a PERSISTENTLY degraded
+    // host the floor check would otherwise consume every attempt building
+    // nothing, starving the min pool of samples. A forced pair (built after
+    // 2 skips) can only be SLOWER than truth — it joins the min pool, which
+    // is bias-free under additive noise, but can never count as clean
+    var skipStreak = 0
+    var built = 0
+    while (accepted < reps && attempts < maxAttempts && built < reps + 3) {
       attempts += 1
       val hwBefore = hwEff(scaleLow, scaleHigh)
       hwSeen += hwBefore
-      if (hwBefore >= minHwEff && bwOk()) {
+      val cleanBefore = hwBefore >= minHwEff && bwOk()
+      if (cleanBefore || skipStreak >= 2) {
+        skipStreak = 0
+        built += 1
+        if (!cleanBefore)
+          System.err.println("[bench] degraded-window pair forced (min-pool only)")
         val tl = pinnedBuild(pagesDir, s"$work/index_low_$attempts", scaleLow, 1)
         val th = pinnedBuild(pagesDir, s"$work/index_mid_$attempts", scaleHigh, 1)
         val hwAfter = hwEff(scaleLow, scaleHigh)
@@ -202,9 +215,13 @@ object Bench {
         // a burst-polluted pair still contributes to the min pool (additive
         // noise only ever slows a build) — it just doesn't count as clean
         pairs += ((tl, th, math.min(hwBefore, hwAfter)))
-        if (hwAfter >= minHwEff && bwOk()) accepted += 1
-        else System.err.println(f"[bench] pair kept for min-pool only (instrument burst mid-pair)")
-      } else System.err.println(f"[bench] pair skipped (cpu $hwBefore%.3f or bandwidth below floor)")
+        if (cleanBefore && hwAfter >= minHwEff && bwOk()) accepted += 1
+        else if (cleanBefore)
+          System.err.println(f"[bench] pair kept for min-pool only (instrument burst mid-pair)")
+      } else {
+        skipStreak += 1
+        System.err.println(f"[bench] pair skipped (cpu $hwBefore%.3f or bandwidth below floor)")
+      }
     }
     var pairTimes = pairs.result().map(p => (p._1, p._2))
     if (pairTimes.isEmpty) {
@@ -221,11 +238,18 @@ object Bench {
       effs.map(e => f"$e%.3f").mkString(",") +
       " hw_effs=" + hwSeen.result().map(e => f"$e%.3f").mkString(",") +
       " membw_gbps=" + bwSeen.result().map(e => f"$e%.1f").mkString(","))
-    // best-of-N per level (timeit-style min): co-tenant interference on this
-    // host is strictly additive — probes bracketing a build read healthy
-    // while a mid-build burst still inflates it, so medians stay polluted;
-    // the fastest observed build at each level is the faithful quiet-host
-    // measurement (instrument arrays above document the weather)
+    // best-of-N per level (timeit-style min) for the ABSOLUTE throughput
+    // numbers: interference only ever slows a build, so the fastest observed
+    // build per level is the faithful quiet-host throughput.
+    // NOT for the efficiency headline though — this VM's absolute clock also
+    // BOOSTS ±20% in idle-host windows (a 2c build measured 48 s vs the
+    // bracketed quiet-host 57-62 s), so min(2c)/min(8c) mixes samples from
+    // different host speeds and its ratio swung 0.70-0.84 across three runs
+    // of identical code. The headline is the MEDIAN of per-pair ratios:
+    // each pair's two builds run back-to-back (~80 s window) so common-mode
+    // speed drift cancels inside the ratio, and the median rejects pairs a
+    // burst hit in one half (those show up as the 0.4-0.6 outliers in
+    // pair_efficiencies)
     val tBuildLow = pairTimes.map(_._1).min
     val tBuildMid = pairTimes.map(_._2).min
     // full-machine builds are the most bandwidth-hungry phase (32 threads
@@ -292,8 +316,11 @@ object Bench {
     val thrLow = nPages / tBuildLow
     val thrMid = nPages / tBuildMid
     val thrFull = nPages / tBuildHigh
-    // the headline gate metric: efficiency of the best-of-N throughputs
-    val eff = (thrMid / thrLow) / (scaleHigh.toDouble / scaleLow)
+    // the headline gate metric: median of per-pair efficiencies (drift
+    // cancels within a pair, median rejects burst outliers); the best-of
+    // ratio is reported alongside as a secondary estimate
+    val eff = median(effs)
+    val effBestOf = (thrMid / thrLow) / (scaleHigh.toDouble / scaleLow)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
@@ -305,7 +332,8 @@ object Bench {
         f""""build_docs_per_sec_${cpusHigh}c":$thrFull%.1f,""" +
         s""""pair_efficiencies":$pairEffsJson,"hw_busyloop_efficiencies":$hwJson,""" +
         s""""membw_gbps":${bwSeen.result().map(e => f"$e%.1f").mkString("[", ",", "]")},""" +
-        f""""scaling_pair":"${scaleLow}c->${scaleHigh}c","scaling_efficiency":$eff%.3f}"""
+        f""""scaling_pair":"${scaleLow}c->${scaleHigh}c","scaling_efficiency_best_of":$effBestOf%.3f,""" +
+        f""""scaling_efficiency":$eff%.3f}"""
     )
     spark.stop()
   }
