@@ -34,6 +34,13 @@ object PlanDump {
       s.search(PhraseQuery("text", Seq((0, "body42"), (1, "body7")), 0)))
     dump("range on fast field (docs-table predicate)",
       s.search(RangeQuery("warc_ts", Some("2026-01-01 00:10:00"), None)))
+    // SQL TVF route: must expand to the SAME physical shape as the
+    // DataFrame API (TakeOrderedAndProject + pushed term filters) — the
+    // table function is analysis-time sugar, invisible to Catalyst
+    graft.plans.GraftSql.registry.register("plandump", s)
+    graft.plans.GraftSql.install(spark)
+    dump("SQL table function: SELECT * FROM search_top('idx', 'body42', 10)",
+      spark.sql("SELECT key, score FROM search_top('plandump', 'body42', 10)"))
     spark.stop()
   }
 }

@@ -126,4 +126,38 @@ object Reflection {
     reader.postings.select(count(lit(1))).collect()
     reader.termStatsDf.select(count(lit(1))).collect()
   }
+
+  /** Hotcache-style priming (reference: the mmap'd hotcache keeps index
+    * components resident so first queries don't fault them in,
+    * `summa-core/src/components/segment_attributes.rs` sibling cache layer).
+    * Spark analog: persist the reader's postings/docs/termstats DataFrames
+    * in the block-manager columnar cache and materialize them. Spark's
+    * CacheManager matches PLAN FRAGMENTS, so every subsequent query built on
+    * this reader (term filters, topDocs, aggregations) automatically scans
+    * the InMemoryRelation instead of parquet — no query-side change needed.
+    * MEMORY_AND_DISK keeps cold segments spillable; `unprime` releases.
+    */
+  def prime(reader: IndexReader): Unit = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    reader.postings.persist(lvl)
+    reader.docs.persist(lvl)
+    reader.termStatsDf.persist(lvl)
+    // materialize concurrently (independent jobs, same discipline as the
+    // build-path stat writes)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val jobs = Seq(reader.postings, reader.docs, reader.termStatsDf)
+      .map(df => Future { df.count() })
+    jobs.foreach(Await.result(_, Duration.Inf))
+    reader.fieldStats
+    ()
+  }
+
+  def unprime(reader: IndexReader): Unit = {
+    reader.postings.unpersist()
+    reader.docs.unpersist()
+    reader.termStatsDf.unpersist()
+    ()
+  }
 }

@@ -49,6 +49,29 @@ class RegistrySpec extends AnyFunSuite {
     Reflection.warmup(a.reader) // smoke: no exceptions
   }
 
+  test("prime: queries scan the columnar cache, unprime releases it") {
+    val dir = Files.createTempDirectory("graft-reg-prime").toString
+    IndexBuilder.build(spark,
+      Seq((1L, "spark window"), (2L, "merge table"), (3L, "spark scan"))
+        .toDF("doc_id", "text"),
+      schema, dir, "prime", IndexBuilder.BuildConf(numSegments = 2))
+    val s = new Searcher(new IndexReader(spark, dir), schema)
+
+    def physical(q: Query): String =
+      s.search(q).queryExecution.executedPlan.toString
+
+    assert(!physical(TermQuery("text", "spark")).contains("InMemoryTableScan"))
+    Reflection.prime(s.reader)
+    try {
+      // CacheManager fragment-matching: the SAME query plan now scans the
+      // in-memory relation without any query-side change
+      assert(physical(TermQuery("text", "spark")).contains("InMemoryTableScan"))
+      val hits = s.search(TermQuery("text", "spark")).collect()
+      assert(hits.length == 2)
+    } finally Reflection.unprime(s.reader)
+    assert(!physical(TermQuery("text", "spark")).contains("InMemoryTableScan"))
+  }
+
   test("exportNamedJson: multi_fields render as arrays, others collapse (golden)") {
     val mschema = IndexSchema(
       keyField = "doc_id",
