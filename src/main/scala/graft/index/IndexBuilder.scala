@@ -65,18 +65,58 @@ object IndexBuilder {
     */
   final case class TokField(len: Int, norm: Int, terms: Array[TermGroup])
 
-  /** Tokenize one field value into term groups (deterministic order). */
+  /** Per-term accumulator for [[analyzeField]]: tf + the delta-varint
+    * position bytes written INCREMENTALLY (byte-identical to
+    * [[PostingCodec.packDocPositions]] over the collected array). Avoids the
+    * per-token churn of the naive TreeMap[String, ArrayBuffer[Int]] grouping
+    * — boxed Integers per position and tree nodes per insert were the
+    * dominant allocation source of the tokenize phase, and allocation churn
+    * is the memory-bandwidth tax the wide build pays hardest.
+    */
+  private final class TermAcc {
+    var buf = new Array[Byte](8)
+    var len = 0
+    private var lastPos = 0
+    var tf = 0
+    def addPos(p: Int): Unit = {
+      var v = if (tf == 0) p else p - lastPos
+      lastPos = p
+      tf += 1
+      while ((v & ~0x7F) != 0) {
+        if (len == buf.length) buf = java.util.Arrays.copyOf(buf, len * 2)
+        buf(len) = ((v & 0x7F) | 0x80).toByte
+        len += 1
+        v >>>= 7
+      }
+      if (len == buf.length) buf = java.util.Arrays.copyOf(buf, len * 2)
+      buf(len) = v.toByte
+      len += 1
+    }
+  }
+
+  /** Tokenize one field value into term groups (deterministic order: terms
+    * sorted by natural String order, positions in token order).
+    */
   def analyzeField(analyzerName: String, value: String): TokField = {
     if (value == null) return TokField(0, 0, Array.empty)
     val toks = Analyzers(analyzerName).tokenize(value)
-    val m = new java.util.TreeMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
-    toks.foreach { t =>
-      m.computeIfAbsent(t.text, _ => new scala.collection.mutable.ArrayBuffer[Int]) += t.position
-    }
-    val groups = new Array[TermGroup](m.size)
+    val m = new java.util.HashMap[String, TermAcc]()
     var i = 0
-    m.forEach { (term, ps) =>
-      groups(i) = TermGroup(term, ps.length, PostingCodec.packDocPositions(ps.toArray))
+    val n = toks.length
+    while (i < n) {
+      val t = toks(i)
+      var acc = m.get(t.text)
+      if (acc == null) { acc = new TermAcc; m.put(t.text, acc) }
+      acc.addPos(t.position)
+      i += 1
+    }
+    val terms = m.keySet().toArray(new Array[String](m.size))
+    java.util.Arrays.sort(terms.asInstanceOf[Array[AnyRef]])
+    val groups = new Array[TermGroup](terms.length)
+    i = 0
+    while (i < terms.length) {
+      val acc = m.get(terms(i))
+      groups(i) = TermGroup(terms(i), acc.tf, java.util.Arrays.copyOf(acc.buf, acc.len))
       i += 1
     }
     TokField(toks.length, FieldNorm.encode(toks.length.toLong), groups)
