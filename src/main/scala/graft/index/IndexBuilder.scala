@@ -611,8 +611,8 @@ object IndexBuilder {
     val needed = (schema.fields.map(_.name) ++ schema.storedFields).distinct
       .filterNot(_ == schema.keyField)
     require(
-      !needed.exists(Set("doc_id", "segment_id", "key", "__key", "__shard").contains),
-      "reserved column name in schema fields: doc_id/segment_id/key")
+      !needed.exists(Set("doc_id", "segment_id", "key", "__key").contains),
+      "reserved column name in schema fields: doc_id/segment_id/key/__key")
     val keyed = pages
       .select((schema.keyColumn.as("__key") +: needed.map(col)): _*)
       .withColumn(
@@ -682,13 +682,23 @@ object IndexBuilder {
     // ---- posting blocks (map-side pack + fragment-merge shuffle) ----
     val recordPositions = schema.fields.map(f => f.name -> (f.record == "position")).toMap
 
-    timed("postings-pack-write")(
-      packFromAnalyzed(analyzed, schema.fields, conf.blockBits, parts, recordPositions).write
-        .mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("segment_id")
-        .parquet(s"$indexDir/postings"))
-    Await.result(docsJob, Duration.Inf)
+    // the docs future is ALWAYS awaited before leaving this scope: if the
+    // postings write throws, the detached docs job must not keep writing to
+    // $indexDir/docs behind the caller's cleanup/retry — the postings
+    // failure stays primary, a concurrent docs failure is secondary
+    var primary: Throwable = null
+    try {
+      timed("postings-pack-write")(
+        packFromAnalyzed(analyzed, schema.fields, conf.blockBits, parts, recordPositions).write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("segment_id")
+          .parquet(s"$indexDir/postings"))
+    } catch { case t: Throwable => primary = t; throw t }
+    finally {
+      try Await.result(docsJob, Duration.Inf)
+      catch { case t: Throwable => if (primary == null) throw t else primary.addSuppressed(t) }
+    }
 
     // stats re-read ONLY the narrow stat columns of the written blocks —
     // column pruning makes this far cheaper than caching the full blocks

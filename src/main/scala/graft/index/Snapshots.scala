@@ -66,12 +66,18 @@ object Snapshots {
   /** Publish the next snapshot version. The snapshot body is written to a
     * hidden tmp file and RENAMED into place, so readers either see a complete
     * version file or none at all (atomic visibility — a reader refreshing
-    * mid-commit must never parse partial bytes). Version allocation stays
-    * exclusive: rename does not replace an existing destination, so of two
-    * concurrent committers computing the same next version exactly one wins
-    * the slot and the loser retries with the following version. Only the
-    * already-exists condition retries — any other IO failure (disk full,
-    * permissions) is rethrown immediately. The index is still
+    * mid-commit must never parse partial bytes). Version allocation is made
+    * exclusive by CLAIMING the slot first with `create(vNNNNNN.lock, false)`
+    * — an O_EXCL-backed exclusive create — before renaming the payload:
+    * rename alone cannot carry the claim because on Hadoop's local
+    * filesystem it maps to rename(2), which silently replaces an existing
+    * destination. Of two concurrent committers computing the same next
+    * version exactly one wins the lock and the loser retries with the
+    * following version. Only the already-exists condition retries — any
+    * other IO failure (disk full, permissions) is rethrown immediately. A
+    * committer that dies between claim and rename orphans one version
+    * number (readers filter on `.json`, later committers skip past it) —
+    * versions may skip, never collide. The index is still
     * single-logical-writer (concurrent committers must not retire each
     * other's segments); this only makes version allocation + visibility safe.
     *
@@ -97,16 +103,28 @@ object Snapshots {
     try {
       var attempts = 0
       while (committed.isEmpty) {
-        val snap = Snapshot(next, segments.sorted, buildId, System.currentTimeMillis(), frozen)
-        val out = f.create(tmp, true)
-        out.write(render(snap).getBytes(UTF_8))
-        out.close()
         val dst = new Path(d, f"v$next%06d.json")
-        // rename refuses an existing destination on both HDFS and local FS:
-        // a false return (or a pre-flight exists hit) IS the lost-version
-        // race — bump and retry; everything else propagates
-        if (!f.exists(dst) && f.rename(tmp, dst)) committed = Some(snap)
-        else {
+        val lock = new Path(d, f"v$next%06d.lock")
+        // exclusive create = the version claim; FileAlreadyExistsException
+        // (or any IOException with the lock now present) IS the lost race
+        val claimed =
+          try { f.create(lock, false).close(); true }
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+            case _: java.nio.file.FileAlreadyExistsException        => false
+            case e: java.io.IOException => if (f.exists(lock)) false else throw e
+          }
+        if (claimed) {
+          try {
+            val snap =
+              Snapshot(next, segments.sorted, buildId, System.currentTimeMillis(), frozen)
+            val out = f.create(tmp, true)
+            out.write(render(snap).getBytes(UTF_8))
+            out.close()
+            require(f.rename(tmp, dst), s"snapshot rename failed: $tmp -> $dst")
+            committed = Some(snap)
+          } finally f.delete(lock, false)
+        } else {
           attempts += 1
           require(attempts < 1000, s"snapshot commit lost the version race $attempts times")
           next += 1

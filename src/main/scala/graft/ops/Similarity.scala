@@ -255,12 +255,17 @@ object Similarity {
     val first = df.select(col(vecCol)).head()
     val dim = first.getSeq[Any](0).size
     val planes = hyperplanes(nPlanes, dim, seed)
+    // deliberately NOT persisted: `v` is the FULL id+vector table, and the
+    // plan below references it four times (two probe projections + the two
+    // exact-verify sides). Caching it would pin the whole embedding table in
+    // executor storage for the session (at 100 TB that is the scale-killer);
+    // each reference instead re-scans the source with column pruning — the
+    // recompute is a projection + nPlanes dot products, cheaper than the pin.
     val v = df.select(
       col(idCol).as("id"),
       asDouble(col(vecCol)).as("v"),
       bucketCol(col(vecCol), planes).as("bucket"))
       .withColumn("nrm", norm(col("v")))
-      .persist()
     // id-only probe table: exact bucket + every hamming-1 variant
     val variants = lit(0L) +: (0 until nPlanes).map(i => lit(1L << i))
     val probesA = v.select(

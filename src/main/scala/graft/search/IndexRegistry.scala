@@ -106,7 +106,7 @@ object Reflection {
     val base = exportDocuments(searcher, query)
     val emit =
       (if (fields.nonEmpty) fields
-       else base.columns.toSeq.filterNot(Set("segment_id", "doc_id", "score").contains))
+       else base.columns.toSeq.filterNot(Set("segment_id", "doc_id", "score", "key").contains))
         .sorted
     val shaped = emit.map { f =>
       val isArray = base.schema(f).dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
@@ -116,8 +116,10 @@ object Reflection {
         else col(f)
       c.as(f)
     }
-    base.select(col("key") +: shaped: _*)
-      .select(col("key"), to_json(struct(emit.map(col): _*)).as("doc_json"))
+    // the outer key travels under a reserved alias so an emitted field named
+    // "key" (explicit `fields` request) can't make the reference ambiguous
+    base.select(col("key").as("__export_key") +: shaped: _*)
+      .select(col("__export_key").as("key"), to_json(struct(emit.map(col): _*)).as("doc_json"))
   }
 
   /** Warm-up (W10, `index_holder.rs:329-375`): prime postings + stats. */

@@ -175,6 +175,7 @@ class OpsSpec extends AnyFunSuite {
     val exact = Dedup.cosinePairs(df, "vec_id", "embedding", 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.size >= 60, s"planting failed: ${exact.size}")
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val lsh = Similarity.lshCosinePairs(df, "vec_id", "embedding", 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(exact), "exact verification: no false positives")
@@ -190,6 +191,10 @@ class OpsSpec extends AnyFunSuite {
       java.lang.Long.bitCount(sig(a) ^ sig(b)) == 1 }
     assert(oneBit.nonEmpty, "test corpus should contain hamming-1 pairs")
     assert(oneBit.forall(lsh.contains), "every hamming-1 pair must be recalled")
+    // no persisted-DataFrame leak: at 100 TB a lingering cached vector table
+    // pins the whole embedding corpus in executor storage for the session
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(leaked.isEmpty, s"lshCosinePairs must not leave persisted RDDs behind: $leaked")
   }
 
   test("text stats columns") {

@@ -99,5 +99,13 @@ class RegistrySpec extends AnyFunSuite {
       s, fields = Seq("title", "tags"), multiFields = Set("title"))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(collapsed("1") == """{"tags":"reality","title":["Guide"]}""")
+
+    // default fields = Nil: emits every doc column EXCEPT the reserved
+    // key/segment_id/doc_id/score set — regression for the duplicate-key
+    // ambiguous-reference bug (key must appear once, as the outer column)
+    val dflt = Reflection.exportNamedJson(s)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dflt("1").contains(""""title":"Guide""""))
+    assert(!dflt("1").contains(""""key""""))
   }
 }
