@@ -644,9 +644,6 @@ object IndexBuilder {
     val lenAggs = schema.fields.map(f => sum(col(s"__tok_${f.name}.len")).as(s"tt_${f.name}"))
     val (analyzed, sortedHandle, totalDocs, segAggs) =
       timed("tokenize+sort+docids")(assignDocIds(sortedTok, parts, conf.persist, lenAggs))
-    // stat output files stay data-proportional (tiny tables)
-    def outParts(rowsPerPart: Long): Int =
-      math.max(1, math.min(parts.toLong, totalDocs / rowsPerPart + 1)).toInt
     val segStats: Seq[SegStat] = segAggs.toSeq.sortBy(_._1).map { case (seg, r) =>
       SegStat(seg, r.getLong(0),
         schema.fields.zipWithIndex.map { case (f, i) => f.name -> r.getLong(1 + i) }.toMap)
@@ -712,7 +709,7 @@ object IndexBuilder {
     // chunks keep its write at a handful of tasks instead of `parts` tiny
     // ones (24 near-empty tasks measured 4× the run-time of 6)
     val segs = timed("stats+metrics")(writeStats(spark, schema, indexDir, buildId, statCols,
-      segStats, outParts(65536), mergeDepth, parentSegments))
+      segStats, mergeDepth, parentSegments))
 
     sortedHandle.unpersist()
     segs
@@ -732,32 +729,42 @@ object IndexBuilder {
       buildId: String,
       postingsRead: DataFrame,
       segStats: Seq[SegStat],
-      statParts: Int,
       mergeDepth: Int,
       parentSegments: Seq[Int]
   ): Seq[Int] = {
     // ONE pass over the packed blocks feeds both the termstats table and the
-    // per-segment metrics aggregates (the term-level result is orders of
-    // magnitude smaller than the blocks, so the second-level agg is ~free)
+    // per-segment metrics aggregates: the metrics sums ride the termstats
+    // WRITE job as per-segment observed aggregates (`Observation`), so this
+    // driver-coordinated tail pays exactly two job latencies (termstats,
+    // fieldstats — concurrent) plus the tiny metrics append, with no
+    // persist/unpersist round-trip of the term-level table (it was the
+    // worst-scaling phase: a fixed ~1-2 s tail both core counts pay)
     val termLevel = postingsRead
       .groupBy("segment_id", "field", "term")
       .agg(
         sum("doc_count").cast(LongType).as("df"),
         sum("sum_tf").as("total_tf"),
         sum("posting_bytes").as("pb"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // the three stat outputs are mutually independent — run them as FULLY
-    // CONCURRENT Spark jobs so this driver-coordinated tail pays one job
-    // latency, not three (it was the worst-scaling phase: 0.44 efficiency
-    // 2c→8c, a fixed ~1-2 s tail both core counts pay)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    val segIds = segStats.map(_.segmentId)
+    val obs = org.apache.spark.sql.Observation(s"seg-metrics-$buildId")
+    val obsAggs: Seq[org.apache.spark.sql.Column] = segIds.flatMap(s => Seq(
+      sum(when(col("segment_id") === s, col("pb")).otherwise(lit(0L))).as(s"pb_$s"),
+      sum(when(col("segment_id") === s, lit(1L)).otherwise(lit(0L))).as(s"nt_$s")))
+    // no explicit repartition before the write: the output inherits the
+    // aggregation's hash partitioning (same distribution an explicit
+    // repartition on the full key gave) and AQE coalesces the vocab-sized
+    // shuffle to data-proportional tasks — the former repartition(statParts)
+    // both forced a second exchange of the table AND pinned the partition
+    // count against AQE. Within-file (field, term) ordering is preserved by
+    // the sort, so parquet row-group stats still prune term lookups.
     val termstatsJob = Future {
       termLevel
+        .observe(obs, obsAggs.head, obsAggs.tail: _*)
         .select("segment_id", "field", "term", "df", "total_tf")
-        .repartition(statParts, col("segment_id"), col("field"), col("term"))
         .sortWithinPartitions("segment_id", "field", "term")
         .write
         .mode("overwrite")
@@ -788,41 +795,28 @@ object IndexBuilder {
     }
 
     // ---- per-segment metrics (north-rule lineage table) ----
-    // the tiny per-segment agg over the cached term-level stats chains into
-    // the metrics write inside ITS OWN future, concurrent with both stat
-    // writes above
-    val mSchema = StructType(Seq(
-      StructField("build_id", StringType, false),
-      StructField("segment_id", IntegerType, false),
-      StructField("num_docs", LongType, false),
-      StructField("num_terms", LongType, false),
-      StructField("posting_bytes", LongType, false),
-      StructField("merge_depth", IntegerType, false),
-      StructField("parent_segments", ArrayType(StringType, false), false),
-      StructField("created_at", TimestampType, false)))
-    val metricsJob = Future {
-      val segPostings = termLevel
-        .groupBy("segment_id")
-        .agg(sum("pb").as("posting_bytes"), count(lit(1)).as("num_terms"))
-        .collect()
-        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
-        .toMap
-      val now = new java.sql.Timestamp(System.currentTimeMillis())
-      val parents = parentSegments.map(_.toString).toArray
-      val metricRows = segStats.map { st =>
-        val (bytes, terms) = segPostings.getOrElse(st.segmentId, (0L, 0L))
-        Row(buildId, st.segmentId, st.nDocs, terms, bytes, mergeDepth, parents, now)
-      }
-      spark
-        .createDataFrame(spark.sparkContext.parallelize(metricRows.toSeq, 1), mSchema)
-        .write
-        .mode("append")
-        .parquet(s"$indexDir/metrics")
-    }
-    Await.result(metricsJob, Duration.Inf)
+    // assembled driver-side from the aggregates OBSERVED during the
+    // termstats write — no second scan of the term-level table, no extra
+    // aggregation job, and the handful-of-rows append goes through a plain
+    // parquet-mr writer instead of a Spark job (a job's scheduling
+    // round-trip is pure fixed build tail at every core count)
     Await.result(termstatsJob, Duration.Inf)
+    val observed = obs.get
+    // an all-empty term table observes nulls (SQL sum over zero rows)
+    def obsLong(k: String): Long = observed.get(k) match {
+      case Some(n: Number) => n.longValue()
+      case _               => 0L
+    }
+    val now = System.currentTimeMillis()
+    val parents = parentSegments.map(_.toString)
+    val metricRows = segStats.map { st =>
+      TinyParquet.MetricRow(buildId, st.segmentId, st.nDocs,
+        obsLong(s"nt_${st.segmentId}"), obsLong(s"pb_${st.segmentId}"),
+        mergeDepth, parents, now)
+    }
+    TinyParquet.appendMetrics(
+      spark.sparkContext.hadoopConfiguration, s"$indexDir/metrics", metricRows)
     Await.result(fieldstatsJob, Duration.Inf)
-    termLevel.unpersist()
     segStats.map(_.segmentId).sorted
   }
 
