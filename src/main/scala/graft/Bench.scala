@@ -177,20 +177,32 @@ object Bench {
     // steal, which slows the wide build ~25% while busy-loops read healthy.
     val minHwEff = sys.env.getOrElse("GRAFT_BENCH_MIN_HW_EFF", "0.85").toDouble
     val minBwFrac = sys.env.getOrElse("GRAFT_BENCH_MIN_BW_FRAC", "0.88").toDouble
+    // absolute floor backstop: this VM measures 26-32 GB/s on a healthy host
+    // and 12-22 under co-tenant steal; a run that STARTS degraded must not
+    // adapt its relative reference down and bless starved pairs as clean
+    val minBwAbs = sys.env.getOrElse("GRAFT_BENCH_MIN_BW_ABS", "23.5").toDouble
     val maxAttempts = reps * 3
     val pairs = Vector.newBuilder[(Double, Double, Double, Boolean)] // (tl, th, hwEff, clean)
     var accepted = 0
     var attempts = 0
-    var bwMax = memBw(scaleHigh)
     val hwSeen = Vector.newBuilder[Double]
     val bwSeen = Vector.newBuilder[Double]
-    bwSeen += bwMax
+    val bwAll = scala.collection.mutable.ArrayBuffer[Double]()
+    // the relative reference is the 75th percentile of readings so far, NOT
+    // the max: a single idle-window burst (32+ GB/s observed once in an
+    // otherwise 21-27 run) would otherwise poison the floor and flag every
+    // pair of a normal run as dirty
+    def bwRef(): Double = {
+      val s = bwAll.sorted
+      s(math.min((s.size * 3) / 4, s.size - 1))
+    }
     def bwOk(): Boolean = {
       val bw = memBw(scaleHigh)
       bwSeen += bw
-      bwMax = math.max(bwMax, bw)
-      bw >= minBwFrac * bwMax
+      bwAll += bw
+      bw >= math.max(minBwFrac * bwRef(), minBwAbs)
     }
+    bwOk() // seed the reference window
     // consecutive instrument skips are capped: on a PERSISTENTLY degraded
     // host the floor check would otherwise consume every attempt building
     // nothing, starving the min pool of samples. A forced pair (built after
@@ -209,12 +221,16 @@ object Bench {
         if (!cleanBefore)
           System.err.println("[bench] degraded-window pair forced (min-pool only)")
         val tl = pinnedBuild(pagesDir, s"$work/index_low_$attempts", scaleLow, 1)
+        // probe BETWEEN the halves: the 4N build is the bandwidth-sensitive
+        // one, and the before/after probes straddle a ~90 s gap a burst can
+        // hide inside
+        val bwMidOk = bwOk()
         val th = pinnedBuild(pagesDir, s"$work/index_mid_$attempts", scaleHigh, 1)
         val hwAfter = hwEff(scaleLow, scaleHigh)
         hwSeen += hwAfter
         // a burst-polluted pair still contributes to the min pool (additive
         // noise only ever slows a build) — it just doesn't count as clean
-        val clean = cleanBefore && hwAfter >= minHwEff && bwOk()
+        val clean = cleanBefore && bwMidOk && hwAfter >= minHwEff && bwOk()
         pairs += ((tl, th, math.min(hwBefore, hwAfter), clean))
         if (clean) accepted += 1
         else if (cleanBefore)
@@ -239,10 +255,12 @@ object Bench {
     val effs = pairTimes.map { case (tl, th) => pairEff(tl, th) }
     // the HEADLINE median runs over CLEAN pairs only — degraded-window and
     // burst-hit pairs are biased low (bandwidth steal hits the 4N half
-    // hardest) and belong to the min pool alone; with no clean pair at all,
-    // fall back to every pair so a fully-degraded host still yields a number
+    // hardest) and belong to the min pool alone. A single clean pair is a
+    // coin flip, not a median — require at least 2 before trusting the
+    // clean subset, otherwise fall back to every pair so a fully-degraded
+    // host still yields a number
     val cleanEffs = allPairs.filter(_._4).map(p => pairEff(p._1, p._2))
-    val headlineEffs = if (cleanEffs.nonEmpty) cleanEffs else effs
+    val headlineEffs = if (cleanEffs.size >= 2) cleanEffs else effs
     System.err.println("[bench] pair_efficiencies=" +
       effs.map(e => f"$e%.3f").mkString(",") +
       " clean=" + allPairs.map(_._4).mkString(",") +

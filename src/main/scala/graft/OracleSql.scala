@@ -96,6 +96,39 @@ object OracleSql {
          |FROM top p JOIN tf_t t ON t.doc_id = p.doc_id
          |ORDER BY p.doc_id""".stripMargin
 
+  /** Phrase-leaf explain (slop=0, two terms, boosted): every matching doc
+    * with the phrase leaf's decomposition — tf = alignment-window count,
+    * contribution = the boosted phrase score (phrase-as-pseudo-term:
+    * idf(t1)+idf(t2) over the window count), first matched base position.
+    * Emits `score` and `contribution` as the same value: the compare hash
+    * enforces that the leaf sums to the hit's score.
+    */
+  def explainPhrase(t1: String, t2: String, boost: Double): String =
+    prologue +
+      s""",p1 AS (SELECT doc_id, pos FROM tok WHERE w = '$t1'),
+         |p2 AS (SELECT doc_id, pos FROM tok WHERE w = '$t2'),
+         |m AS (
+         |  SELECT p1.doc_id, p1.pos
+         |  FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+         |),
+         |ph AS (SELECT doc_id, count(*)::DOUBLE AS tf, min(pos) AS first_pos FROM m GROUP BY 1),
+         |df1 AS (SELECT count(DISTINCT doc_id)::DOUBLE AS df FROM p1),
+         |df2 AS (SELECT count(DISTINCT doc_id)::DOUBLE AS df FROM p2),
+         |sc AS (
+         |  SELECT ph.doc_id, ph.tf, ph.first_pos,
+         |         (ln(1 + (s.n - d1.df + 0.5) / (d1.df + 0.5)) +
+         |          ln(1 + (s.n - d2.df + 0.5) / (d2.df + 0.5))) *
+         |         (ph.tf * (1.2 + 1)) / (ph.tf + 1.2 * ((1 - 0.75) + 0.75 * q.qlen / s.avgdl)) AS score0
+         |  FROM ph, df1 d1, df2 d2, stats s
+         |  JOIN qn q ON q.doc_id = ph.doc_id
+         |)
+         |SELECT doc_id, round(score0 * CAST($boost AS DOUBLE), 4) AS score,
+         |       '"$t1 $t2"' AS term, CAST(tf AS INT) AS tf,
+         |       CAST($boost AS DOUBLE) AS boost,
+         |       round(score0 * CAST($boost AS DOUBLE), 4) AS contribution,
+         |       CAST(first_pos AS INT) AS first_pos, CAST(tf AS INT) AS n_windows
+         |FROM sc ORDER BY doc_id""".stripMargin
+
   def boolMust(t1: String, t2: String): String =
     prologue + termScoreCte(t1, "a") + termScoreCte(t2, "b") +
       """

@@ -123,6 +123,15 @@ object SparkEntry {
       val s = DocsIndex.searcher(sp, dir)
       DocsIndex.scored(s, MatchQuery("spark -window batch")).orderBy("doc_id")
     }),
+    "q_match_override" -> ((sp, dir) => {
+      // per-query parser-config override (query.proto:118-121): the SAME
+      // searcher whose index default fields are [text] answers this request
+      // against [source] because the MatchQuery carries a config patch —
+      // the reference merge's replace-if-non-empty default_fields rule
+      val s = DocsIndex.searcher(sp, dir)
+      val patch = SummaQL.ConfigPatch(defaultFields = Seq("source"))
+      DocsIndex.matchedIds(s, MatchQuery("src3", Some(patch))).orderBy("doc_id")
+    }),
     "q_sql_search" -> ((sp, dir) => {
       // the SQL TVF route: same SummaQL query as q_match_ql, issued through
       // spark.sql over the injected search(...) table function
@@ -153,6 +162,33 @@ object SparkEntry {
           explode(from_json(col("explain"), exSchema).getField("details")).as("d"))
         .select(col("doc_id"), col("d.term").as("term"), col("d.tf").as("tf"),
           col("d.boost").as("boost"), round(col("d.contribution"), 4).as("score"))
+        .orderBy("doc_id")
+    }),
+    "q_explain_phrase" -> ((sp, dir) => {
+      // per-hit explain, PHRASE leaf: the phrase explains as one pseudo-term
+      // leaf whose contribution equals the boosted clause score and whose
+      // positions array lists the matched alignment windows; the oracle
+      // recomputes tf/score/first-window from raw positions in SQL
+      import org.apache.spark.sql.types._
+      val s = DocsIndex.searcher(sp, dir)
+      val q = BoostQuery(PhraseQuery("text", Seq((0, "spark"), (1, "window")), 0), 1.5)
+      val exSchema = StructType(Seq(
+        StructField("value", DoubleType),
+        StructField("details", ArrayType(StructType(Seq(
+          StructField("term", StringType), StructField("kind", StringType),
+          StructField("tf", IntegerType), StructField("boost", DoubleType),
+          StructField("contribution", DoubleType),
+          StructField("positions", ArrayType(IntegerType))))))))
+      s.reader.docs.select(col("segment_id"), col("doc_id"), col("key"))
+        .join(s.explainTopDocs(q, 2000), Seq("segment_id", "doc_id"))
+        .select(col("key").cast("long").as("doc_id"), round(col("score"), 4).as("score"),
+          explode(from_json(col("explain"), exSchema).getField("details")).as("d"))
+        .filter(col("d.kind") === "phrase")
+        .select(col("doc_id"), col("score"), col("d.term").as("term"),
+          col("d.tf").as("tf"), col("d.boost").as("boost"),
+          round(col("d.contribution"), 4).as("contribution"),
+          element_at(col("d.positions"), 1).as("first_pos"),
+          size(col("d.positions")).as("n_windows"))
         .orderBy("doc_id")
     }),
 
@@ -405,8 +441,11 @@ object SparkEntry {
       "SELECT doc_id FROM documents WHERE n_chars >= 200 AND n_chars <= 400 ORDER BY doc_id",
     "q_regex" -> OracleSql.regex("s.an"),
     "q_match_ql" -> OracleSql.matchShouldShouldNot("spark", "batch", "window"),
+    "q_match_override" ->
+      "SELECT doc_id FROM documents WHERE source = 'src3' ORDER BY doc_id",
     "q_sql_search" -> OracleSql.matchShouldShouldNot("spark", "batch", "window"),
     "q_explain" -> OracleSql.explainBoostTopK("vector", 2.0, 10),
+    "q_explain_phrase" -> OracleSql.explainPhrase("spark", "window", 1.5),
     "q_json_term" ->
       "SELECT doc_id FROM documents WHERE source = 'src3' ORDER BY doc_id",
     "q_json_range" ->

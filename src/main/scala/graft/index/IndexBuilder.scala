@@ -65,6 +65,13 @@ object IndexBuilder {
     */
   final case class TokField(len: Int, norm: Int, terms: Array[TermGroup])
 
+  /** One caller-provided token for the pre-tokenized input path — the
+    * Spark-native shape of a tantivy `PreTokenizedString` entry
+    * (`summa_document.rs:150-160`). Byte offsets are not retained: the
+    * index stores positions only.
+    */
+  final case class PreToken(position: Int, text: String)
+
   /** Per-term accumulator for [[analyzeField]]: tf + the delta-varint
     * position bytes written INCREMENTALLY (byte-identical to
     * [[PostingCodec.packDocPositions]] over the collected array). Avoids the
@@ -100,14 +107,31 @@ object IndexBuilder {
   def analyzeField(analyzerName: String, value: String): TokField = {
     if (value == null) return TokField(0, 0, Array.empty)
     val toks = Analyzers(analyzerName).tokenize(value)
+    groupTokens(toks.length, i => toks(i).text, i => toks(i).position)
+  }
+
+  /** Group caller-provided tokens into term groups, BYPASSING the analyzer —
+    * the pre-tokenized string path (reference `summa_document.rs:150-160`:
+    * a JSON object on a str field parses as a tantivy `PreTokenizedString`
+    * and indexes its given tokens/positions verbatim). Fieldnorm = token
+    * count, exactly like the analyzed path.
+    */
+  def analyzePreTokenized(toks: Seq[PreToken]): TokField = {
+    // the position delta-varint accumulator requires non-decreasing
+    // positions per term; tokens normally arrive in position order (tantivy
+    // contract) but caller input is sorted defensively
+    val arr = toks.sortBy(_.position).toIndexedSeq
+    groupTokens(arr.length, i => arr(i).text, i => arr(i).position)
+  }
+
+  private def groupTokens(n: Int, text: Int => String, pos: Int => Int): TokField = {
     val m = new java.util.HashMap[String, TermAcc]()
     var i = 0
-    val n = toks.length
     while (i < n) {
-      val t = toks(i)
-      var acc = m.get(t.text)
-      if (acc == null) { acc = new TermAcc; m.put(t.text, acc) }
-      acc.addPos(t.position)
+      val t = text(i)
+      var acc = m.get(t)
+      if (acc == null) { acc = new TermAcc; m.put(t, acc) }
+      acc.addPos(pos(i))
       i += 1
     }
     val terms = m.keySet().toArray(new Array[String](m.size))
@@ -119,7 +143,7 @@ object IndexBuilder {
       groups(i) = TermGroup(terms(i), acc.tf, java.util.Arrays.copyOf(acc.buf, acc.len))
       i += 1
     }
-    TokField(toks.length, FieldNorm.encode(toks.length.toLong), groups)
+    TokField(n, FieldNorm.encode(n.toLong), groups)
   }
 
   /** The canonical doc-order shuffle feeding [[assignDocIds]]: range
@@ -621,20 +645,37 @@ object IndexBuilder {
 
     // tokenize each indexed field exactly once, in the projection applied
     // after the segment/key sort — the persisted intermediate carries token
-    // groups (and stored fields) but NOT the raw indexed text
-    val tokUdfs = schema.fields.map { f =>
+    // groups (and stored fields) but NOT the raw indexed text.
+    // A text field whose INPUT COLUMN is `struct<text, tokens:array<struct<
+    // position, text>>>` is pre-tokenized (reference
+    // `summa_document.rs:150-160` accepts tantivy PreTokenizedString objects
+    // for str fields): the provided tokens bypass the analyzer while keeping
+    // positions/fieldnorm semantics; a row with a NULL tokens array falls
+    // back to analyzing its `text`, mirroring the reference's per-value
+    // string-or-object choice — but discriminated by column TYPE at plan
+    // time, not by sniffing every row.
+    val tokCols: Map[String, org.apache.spark.sql.Column] = schema.fields.map { f =>
       val an = f.analyzer
-      f.name -> (f.fieldType match {
-        case "json"  => udf((s: String) => JsonField.analyzeJson(an, s))
-        case "bytes" => udf((s: String) => TypedFields.singleTok(Option(s).flatMap(TypedFields.bytesTerm)))
-        case "ip"    => udf((s: String) => TypedFields.singleTok(TypedFields.ipTerm(s)))
-        case _       => udf((s: String) => analyzeField(an, s))
-      })
+      val expr = f.fieldType match {
+        case "json"  => udf((s: String) => JsonField.analyzeJson(an, s)).apply(col(f.name).cast(StringType))
+        case "bytes" => udf((s: String) => TypedFields.singleTok(Option(s).flatMap(TypedFields.bytesTerm))).apply(col(f.name).cast(StringType))
+        case "ip"    => udf((s: String) => TypedFields.singleTok(TypedFields.ipTerm(s))).apply(col(f.name).cast(StringType))
+        case _ =>
+          pages.schema.find(_.name == f.name).map(_.dataType) match {
+            case Some(st: StructType)
+                if st.fieldNames.contains("text") && st.fieldNames.contains("tokens") =>
+              udf((text: String, toks: Seq[PreToken]) =>
+                if (toks == null) analyzeField(an, text) else analyzePreTokenized(toks))
+                .apply(col(s"${f.name}.text"), col(s"${f.name}.tokens"))
+            case _ => udf((s: String) => analyzeField(an, s)).apply(col(f.name).cast(StringType))
+          }
+      }
+      f.name -> expr
     }.toMap
     val keepCols =
       Seq(col("segment_id"), col("__key")) ++
         schema.storedFields.map(col) ++
-        schema.fields.map(f => tokUdfs(f.name)(col(f.name).cast(StringType)).as(s"__tok_${f.name}"))
+        schema.fields.map(f => tokCols(f.name).as(s"__tok_${f.name}"))
     val sortedTok = shardAndSort(keyed, parts, keepCols)
 
     // per-segment token totals piggy-back on the pass-1 docId aggregation —

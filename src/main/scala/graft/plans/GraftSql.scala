@@ -15,9 +15,14 @@ import graft.search.{IndexReader, IndexRegistry, MatchQuery, Searcher}
   *
   * {{{
   *   SELECT * FROM search_top('/data/idx', 'body42 +lang:en', 10)
+  *   SELECT * FROM search_top(index => '/data/idx', query => 'body42', k => 10)
   *   SELECT lang, count(*) FROM search('/data/idx', 'body42') GROUP BY lang
   *   SELECT * FROM index_docs('/data/idx') WHERE lang = 'en'
+  *   SELECT * FROM search_agg('/data/idx', 'body42', '{"by_lang":{"terms":{"field":"lang"}}}')
   * }}}
+  *
+  * Arguments bind positionally or by SQL-standard `name => value` named
+  * arguments (positional prefix first, named in any order after).
   *
   * The first argument is a registered index name/alias
   * ([[GraftSql.registry]]) or an index directory; directories self-describe
@@ -46,70 +51,127 @@ object GraftSql {
 
   private val byPath = TrieMap[String, Searcher]()
 
-  /** Drop the cached searcher of `dir` (e.g. after a new commit — readers pin
-    * the snapshot they opened).
+  /** Drop the cached searcher of `dir` (readers pin the snapshot they
+    * opened). Rarely needed by callers: [[searcherFor]] auto-refreshes when
+    * the directory's latest snapshot version moves past the cached reader's
+    * pinned version — the reader reload-on-commit of the reference.
     */
   def invalidate(dir: String): Unit = { byPath.remove(dir); () }
 
   def searcherFor(ref: String): Searcher = {
     val spark = org.apache.spark.sql.SparkSession.active
+    def fresh(): Searcher = {
+      val schema = IndexSchema.load(spark, ref).getOrElse(sys.error(
+        s"'$ref' is neither a registered index nor an index dir with _schema.json"))
+      new Searcher(new IndexReader(spark, ref), schema)
+    }
     try registry.resolve(ref)
     catch {
       case _: IllegalArgumentException =>
-        byPath.getOrElseUpdate(
-          ref, {
-            val schema = IndexSchema.load(spark, ref).getOrElse(sys.error(
-              s"'$ref' is neither a registered index nor an index dir with _schema.json"))
-            new Searcher(new IndexReader(spark, ref), schema)
-          })
+        byPath.get(ref) match {
+          case Some(cached)
+              if cached.reader.snapshot.map(_.version) ==
+                graft.index.Snapshots.latest(spark, ref).map(_.version) =>
+            cached
+          case _ =>
+            val s = fresh()
+            byPath.put(ref, s)
+            s
+        }
     }
   }
 
-  private def constArg(fn: String, e: Expression, pos: Int): Any = {
-    require(e.foldable, s"$fn: argument ${pos + 1} must be a constant")
+  private def constArg(fn: String, e: Expression, label: String): Any = {
+    require(e.foldable, s"$fn: argument '$label' must be a constant")
     val v = e.eval()
-    require(v != null, s"$fn: argument ${pos + 1} must not be null")
+    require(v != null, s"$fn: argument '$label' must not be null")
     v
   }
-  private def strArg(fn: String, args: Seq[Expression], pos: Int): String =
-    constArg(fn, args(pos), pos).toString
-  private def intArg(fn: String, args: Seq[Expression], pos: Int): Int =
-    constArg(fn, args(pos), pos) match {
+  private def strArg(fn: String, e: Expression, label: String): String =
+    constArg(fn, e, label).toString
+  private def intArg(fn: String, e: Expression, label: String): Int =
+    constArg(fn, e, label) match {
       case n: java.lang.Number => n.intValue()
-      case other               => sys.error(s"$fn: argument ${pos + 1} must be an integer, got $other")
+      case other               => sys.error(s"$fn: argument '$label' must be an integer, got $other")
     }
-  private def arity(fn: String, args: Seq[Expression], lo: Int, hi: Int): Unit =
-    require(args.size >= lo && args.size <= hi,
-      s"$fn expects $lo${if (hi > lo) s"..$hi" else ""} arguments, got ${args.size}")
+
+  /** Bind positional + named arguments (`search_top(index => …, k => 10)`)
+    * to the declared parameter slots — SQL-standard named-argument rules,
+    * the same contract as Spark 4's builtin TVFs: positional args first,
+    * named args in any order after them, unknown/duplicate names rejected,
+    * the first `required` slots mandatory.
+    */
+  private def bindArgs(
+      fn: String, params: Seq[String], required: Int,
+      args: Seq[Expression]): Seq[Option[Expression]] = {
+    import org.apache.spark.sql.catalyst.expressions.NamedArgumentExpression
+    val positional = args.takeWhile(!_.isInstanceOf[NamedArgumentExpression])
+    val named = args.drop(positional.size)
+    named.foreach(e => require(e.isInstanceOf[NamedArgumentExpression],
+      s"$fn: positional arguments must precede named arguments"))
+    require(positional.size <= params.size,
+      s"$fn expects at most ${params.size} arguments (${params.mkString(", ")}), got ${args.size}")
+    val slots = Array.fill[Option[Expression]](params.size)(None)
+    positional.zipWithIndex.foreach { case (e, i) => slots(i) = Some(e) }
+    named.foreach { case NamedArgumentExpression(key, value) =>
+      val i = params.indexOf(key.toLowerCase(java.util.Locale.ROOT))
+      require(i >= 0, s"$fn: unknown argument name '$key' (expected: ${params.mkString(", ")})")
+      require(slots(i).isEmpty, s"$fn: duplicate argument '${params(i)}'")
+      slots(i) = Some(value)
+    }
+    params.take(required).zipWithIndex.foreach { case (p, i) =>
+      require(slots(i).nonEmpty, s"$fn: missing required argument '$p'")
+    }
+    slots.toSeq
+  }
 
   /** name -> (builder, usage) */
   private val functions: Seq[(String, Seq[Expression] => LogicalPlan, String)] = Seq(
     (
       "search",
       args => {
-        arity("search", args, 2, 2)
-        val s = searcherFor(strArg("search", args, 0))
-        s.searchWithDocs(MatchQuery(strArg("search", args, 1))).queryExecution.logical
+        val Seq(index, query) = bindArgs("search", Seq("index", "query"), 2, args)
+        val s = searcherFor(strArg("search", index.get, "index"))
+        s.searchWithDocs(MatchQuery(strArg("search", query.get, "query")))
+          .queryExecution.logical
       },
       "_FUNC_(index, query) - all matching docs (stored fields + score) of a SummaQL query"),
     (
       "search_top",
       args => {
-        arity("search_top", args, 3, 4)
-        val s = searcherFor(strArg("search_top", args, 0))
-        val k = intArg("search_top", args, 2)
-        val offset = if (args.size > 3) intArg("search_top", args, 3) else 0
-        s.topDocsWithKeys(MatchQuery(strArg("search_top", args, 1)), k, offset)
+        val Seq(index, query, k, offset) =
+          bindArgs("search_top", Seq("index", "query", "k", "offset"), 3, args)
+        val s = searcherFor(strArg("search_top", index.get, "index"))
+        s.topDocsWithKeys(
+          MatchQuery(strArg("search_top", query.get, "query")),
+          intArg("search_top", k.get, "k"),
+          offset.map(intArg("search_top", _, "offset")).getOrElse(0))
           .queryExecution.logical
       },
       "_FUNC_(index, query, k[, offset]) - top-k docs by BM25 with stored fields"),
     (
       "index_docs",
       args => {
-        arity("index_docs", args, 1, 1)
-        searcherFor(strArg("index_docs", args, 0)).reader.docs.queryExecution.logical
+        val Seq(index) = bindArgs("index_docs", Seq("index"), 1, args)
+        searcherFor(strArg("index_docs", index.get, "index")).reader.docs.queryExecution.logical
       },
-      "_FUNC_(index) - the doc store of an index (live segments only)")
+      "_FUNC_(index) - the doc store of an index (live segments only)"),
+    (
+      "search_agg",
+      args => {
+        val Seq(index, query, aggs) =
+          bindArgs("search_agg", Seq("index", "query", "aggs"), 3, args)
+        val s = searcherFor(strArg("search_agg", index.get, "index"))
+        val parsed = graft.search.AggJson.parse(strArg("search_agg", aggs.get, "aggs"))
+        require(parsed.size == 1,
+          "search_agg: the request must contain exactly one aggregation " +
+            "(a TVF returns one table) - issue one call per aggregation")
+        graft.search.Collectors
+          .aggregate(s.searchWithDocs(MatchQuery(strArg("search_agg", query.get, "query"))),
+            parsed.head._2)
+          .queryExecution.logical
+      },
+      "_FUNC_(index, query, aggs_json) - an ES-style aggregation over the docs matching a SummaQL query")
   )
 
   private def descriptions: Seq[(FunctionIdentifier, ExpressionInfo,

@@ -53,10 +53,33 @@ final class CollectorCache(maxEntries: Int = 128, ttlMillis: Long = 120000L) {
     while (it.hasNext) if (t - it.next().getValue.insertedAt > ttlMillis) it.remove()
   }
 
-  private def key(searcher: Searcher, q: Query, limit: Int, offset: Int): String = {
+  private def baseKey(searcher: Searcher, q: Query): String = {
     val snap = searcher.reader.snapshot.map(_.version).getOrElse(-1)
-    s"${searcher.reader.indexDir}@$snap|fieldnorms=${searcher.fieldnorms}|$q" +
-      s"|TopDocs{limit=$limit,offset=$offset}"
+    s"${searcher.reader.indexDir}@$snap|fieldnorms=${searcher.fieldnorms}|$q"
+  }
+
+  private def key(searcher: Searcher, q: Query, limit: Int, offset: Int): String =
+    baseKey(searcher, q) + s"|TopDocs{limit=$limit,offset=$offset}"
+
+  /** Generic cacheable-collector fruit. The reference caches EVERY cacheable
+    * collector's fruit keyed by (query, collector descriptor) — count,
+    * facets, aggregations — not just top-docs (`collector_cache.rs:7-109`,
+    * wired for all kinds at `index_holder.rs:460-505`; only reservoir
+    * sampling is never cached, its fruit being non-deterministic). `compute`
+    * runs on miss; its row array is the stored fruit.
+    */
+  def fruit(searcher: Searcher, q: Query, descriptor: String)(
+      compute: => Array[Row]): Array[Row] = {
+    val k = baseKey(searcher, q) + s"|$descriptor"
+    synchronized {
+      Option(cache.get(k)).filter(e => now() - e.insertedAt <= ttlMillis)
+    } match {
+      case Some(e) => e.rows
+      case None =>
+        val rows = compute
+        synchronized { cache.put(k, Entry(rows, blockHasNext = false, now())); () }
+        rows
+    }
   }
 
   /** Cached top-docs: returns the `(rows, hasNext)` slice for (limit,

@@ -67,8 +67,18 @@ final case class ExistsQuery(field: String) extends Query
 
 /** Free-text query in SummaQL; parsed against the index schema's default
   * fields at plan time.
+  *
+  * `configPatch` is the per-query parser-config override of the reference
+  * (`query.proto:118-121` optional `query_parser_config`): when set, it is
+  * MERGED over the searcher's index-default config before parsing
+  * (`proto_query_parser.rs:143-149`), so a single request can redirect
+  * default fields, switch to dismax, disable morphology, etc. without
+  * touching the index configuration.
   */
-final case class MatchQuery(value: String) extends Query
+final case class MatchQuery(
+    value: String,
+    configPatch: Option[SummaQL.ConfigPatch] = None
+) extends Query
 
 final case class MoreLikeThisQuery(
     fields: Map[String, String],

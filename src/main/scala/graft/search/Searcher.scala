@@ -68,6 +68,42 @@ object PostingUdfs {
 
   val phraseTfUdf: UserDefinedFunction =
     udf((pos: Seq[Seq[Int]], offsets: Seq[Int], slop: Int) => phraseTf(pos, offsets, slop))
+
+  /** The matched base-term positions (pre-filter ordinals) — the phrase's
+    * alignment windows, for per-hit explain. Same match predicate as
+    * [[phraseTf]] (result length == phraseTf); kept separate so the per-doc
+    * scoring path stays allocation-free while this runs only over the k
+    * explained hits.
+    */
+  def phraseMatchPositions(
+      positionsPerTerm: Seq[Seq[Int]], offsets: Seq[Int], slop: Int): Array[Int] = {
+    val first = positionsPerTerm.head
+    val base0 = offsets.head
+    if (slop == 0) {
+      val rest = positionsPerTerm.tail.zip(offsets.tail).map { case (ps, off) => (ps.toArray, off) }
+      first.iterator.filter { p0 =>
+        val base = p0 - base0
+        rest.forall { case (ps, off) => java.util.Arrays.binarySearch(ps, base + off) >= 0 }
+      }.toArray
+    } else {
+      val normed: Seq[Array[Int]] = positionsPerTerm.tail.zip(offsets.tail).map {
+        case (ps, off) => ps.map(_ - off).toArray.sorted
+      }
+      def hasInWindow(ns: Array[Int], lo: Int, hi: Int): Boolean = {
+        val idx = java.util.Arrays.binarySearch(ns, lo)
+        val ins = if (idx >= 0) idx else -idx - 1
+        ins < ns.length && ns(ins) <= hi
+      }
+      first.iterator.filter { p0 =>
+        val n0 = p0 - base0
+        (n0 - slop to n0).exists(w => normed.forall(ns => hasInWindow(ns, w, w + slop)))
+      }.toArray
+    }
+  }
+
+  val phraseMatchPositionsUdf: UserDefinedFunction =
+    udf((pos: Seq[Seq[Int]], offsets: Seq[Int], slop: Int) =>
+      phraseMatchPositions(pos, offsets, slop))
 }
 
 /** Plans a [[Query]] into a DataFrame of `(segment_id, doc_id, score)` and
@@ -111,7 +147,7 @@ class Searcher(
     * should-boolean (reference: `proto_query_parser.rs:143-157, 204-237`).
     */
   def resolve(q: Query): Query = q match {
-    case MatchQuery(v)               => resolve(parseMatch(v))
+    case MatchQuery(v, patch)        => resolve(parseMatch(v, patch))
     case mlt: MoreLikeThisQuery      => expandMoreLikeThis(mlt)
     case BooleanQuery(cs, m)         => BooleanQuery(cs.map { case (o, c) => (o, resolve(c)) }, m)
     case BoostQuery(c, b)            => BoostQuery(resolve(c), b)
@@ -162,7 +198,12 @@ class Searcher(
     fastFields = schema.storedFields.toSet
   )
 
-  private def parseMatch(value: String): Query = SummaQL.parse(value, parserConfig)
+  /** Parse SummaQL against the index-default config, with the reference's
+    * per-query override merged over it when the MatchQuery carries one
+    * (`proto_query_parser.rs:143-149`).
+    */
+  private def parseMatch(value: String, patch: Option[SummaQL.ConfigPatch] = None): Query =
+    SummaQL.parse(value, patch.fold(parserConfig)(parserConfig.merged))
 
   private val keys = Seq("segment_id", "doc_id")
 
@@ -343,7 +384,7 @@ class Searcher(
         .select(col("segment_id"), col("p.doc_id").as("doc_id"))
         .distinct()
         .withColumn("score", lit(1.0))
-    case MatchQuery(v)          => plan(resolve(MatchQuery(v)), dfs)
+    case mq: MatchQuery         => plan(resolve(mq), dfs)
     case mlt: MoreLikeThisQuery => plan(resolve(mlt), dfs)
   }
 
@@ -449,14 +490,61 @@ class Searcher(
 
   def count(q: Query): Long = search(q).count()
 
-  /** Leaf (field, term, cumulativeBoost, kind) contributors of a resolved
-    * query tree, for [[explainTopDocs]]. MustNot branches never contribute
-    * score; phrase terms are reported individually (kind `phrase-term`).
+  /** SERVING-path count/facets/aggregation: probe the collector cache before
+    * planning any Spark job, like [[collectTopDocs]] — the reference caches
+    * every cacheable collector's fruit, not only top-docs
+    * (`collector_cache.rs:7-109`, wiring `index_holder.rs:460-505`).
+    * Repeated requests inside the TTL return the stored fruit with zero
+    * jobs; a commit invalidates via the snapshot-versioned key.
     */
-  private def scoreLeaves(q: Query, boost: Double): Seq[(String, String, Double, String)] =
+  def collectCount(q: Query): Long = collectorCache match {
+    case Some(c) =>
+      c.fruit(this, q, "Count") {
+        Array(org.apache.spark.sql.Row(count(q)))
+      }.head.getLong(0)
+    case None => count(q)
+  }
+
+  /** Cached facet counts fruit (rows of `(path, cnt)`). */
+  def collectFacetCounts(q: Query, facetField: String, root: String): Array[org.apache.spark.sql.Row] =
+    collectorCache match {
+      case Some(c) =>
+        c.fruit(this, q, s"Facet{$facetField,$root}") {
+          Collectors.facetCounts(searchWithDocs(q), facetField, root).collect()
+        }
+      case None => Collectors.facetCounts(searchWithDocs(q), facetField, root).collect()
+    }
+
+  /** Cached aggregation fruit — the Agg case class's structural toString is
+    * the collector descriptor, exactly the reference's per-collector key.
+    */
+  def collectAggregate(q: Query, agg: Collectors.Agg): Array[org.apache.spark.sql.Row] =
+    collectorCache match {
+      case Some(c) =>
+        c.fruit(this, q, s"Agg{$agg}") {
+          Collectors.aggregate(searchWithDocs(q), agg).collect()
+        }
+      case None => Collectors.aggregate(searchWithDocs(q), agg).collect()
+    }
+
+  /** Scoring leaves of a resolved query tree, for [[explainTopDocs]]:
+    * term leaves carry (field, term, cumulativeBoost, kind); phrase clauses
+    * stay WHOLE leaves (a phrase scores as one pseudo-term — tf = alignment
+    * count, idf = Σ term idfs — so decomposing it into per-term rows could
+    * never sum to the score). MustNot branches never contribute score. A
+    * single-term phrase plans as a plain term and explains as one.
+    */
+  private sealed trait ExplainLeaf
+  private final case class TermLeaf(field: String, term: String, boost: Double, kind: String)
+      extends ExplainLeaf
+  private final case class PhraseLeaf(pq: PhraseQuery, boost: Double) extends ExplainLeaf
+
+  private def scoreLeaves(q: Query, boost: Double): Seq[ExplainLeaf] =
     q match {
-      case TermQuery(f, v)       => Seq((f, v, boost, "term"))
-      case PhraseQuery(f, ts, _) => ts.map { case (_, t) => (f, t, boost, "phrase-term") }
+      case TermQuery(f, v) => Seq(TermLeaf(f, v, boost, "term"))
+      case PhraseQuery(f, ts, _) if ts.size == 1 =>
+        Seq(TermLeaf(f, ts.head._2, boost, "term"))
+      case pq: PhraseQuery => Seq(PhraseLeaf(pq, boost))
       case BooleanQuery(cs, _) =>
         cs.collect { case (o, c) if o != Occur.MustNot => scoreLeaves(c, boost) }.flatten
       case BoostQuery(c, b)           => scoreLeaves(c, boost * b)
@@ -483,7 +571,49 @@ class Searcher(
         col("p.tf").as("tf"), col("p.norm_id").as("norm_id"),
         lit(idf).as("idf"), lit(boost).as("boost"),
         (BM25.scoreCol(col("p.tf"), col("p.norm_id"), idf, avgdl(field), fieldnorms) *
-          lit(boost)).as("contribution")))
+          lit(boost)).as("contribution"),
+        lit(null).cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType)).as("positions")))
+  }
+
+  /** One phrase leaf's per-doc decomposition: the phrase scores as a single
+    * pseudo-term (tf = number of matching alignment windows, idf = Σ of the
+    * member terms' idfs — `phraseHits` semantics, Lucene/tantivy phrase
+    * weight), so its contribution column is EXACTLY the clause's score and
+    * sums with sibling leaves. `positions` lists the matched base-term
+    * alignment positions (pre-filter ordinals), the reference's matched-
+    * window detail.
+    */
+  private def phraseDetail(
+      pq: PhraseQuery, boost: Double,
+      dfs: Map[(String, String), Long]): Option[DataFrame] = {
+    val PhraseQuery(field, terms, slop) = pq
+    if (terms.isEmpty) return None
+    if (terms.exists { case (_, t) => dfs.getOrElse((field, t), 0L) == 0L }) return None
+    val n = totalDocs(field)
+    val sumIdf = terms.map { case (_, t) => BM25.idf(dfs((field, t)), n) }.sum
+    val offsets = terms.map(_._1)
+    var joined = termPositions(field, terms.head._2)
+      .withColumnRenamed("positions", "pos_0")
+    terms.zipWithIndex.tail.foreach { case ((_, t), i) =>
+      val right = termPositions(field, t)
+        .select(col("segment_id"), col("doc_id"), col("positions").as(s"pos_$i"))
+      joined = joined.join(right, keys, "inner")
+    }
+    val posArray = array(terms.indices.map(i => col(s"pos_$i")): _*)
+    val phraseText =
+      terms.map(_._2).mkString("\"", " ", "\"") + (if (slop > 0) s"~$slop" else "")
+    Some(joined
+      .withColumn("__mpos", phraseMatchPositionsUdf(posArray, typedLit(offsets), lit(slop)))
+      .filter(size(col("__mpos")) > 0)
+      .select(
+        col("segment_id"), col("doc_id"),
+        lit(field).as("field"), lit(phraseText).as("term"), lit("phrase").as("kind"),
+        size(col("__mpos")).as("tf"), col("norm_id").as("norm_id"),
+        lit(sumIdf).as("idf"), lit(boost).as("boost"),
+        (BM25.scoreCol(size(col("__mpos")), col("norm_id"), sumIdf, avgdl(field), fieldnorms) *
+          lit(boost)).as("contribution"),
+        col("__mpos").as("positions")))
   }
 
   /** Top-k with a per-hit `explain` JSON column (reference: the
@@ -499,8 +629,10 @@ class Searcher(
     val rq = resolve(q)
     val dfs = reader.termDfs(collectTerms(rq).distinct)
     val top = topDocs(rq, limit, offset)
-    val details = scoreLeaves(rq, 1.0).distinct
-      .flatMap { case (f, t, b, k) => termDetail(f, t, b, k, dfs) }
+    val details = scoreLeaves(rq, 1.0).distinct.flatMap {
+      case TermLeaf(f, t, b, k) => termDetail(f, t, b, k, dfs)
+      case PhraseLeaf(pq, b)    => phraseDetail(pq, b, dfs)
+    }
     if (details.isEmpty)
       return top.withColumn(
         "explain",
@@ -513,13 +645,13 @@ class Searcher(
           .groupBy(keys.map(col): _*)
           .agg(array_sort(collect_list(struct(
             col("field"), col("term"), col("kind"), col("tf"), col("norm_id"),
-            col("idf"), col("boost"), col("contribution")))).as("details")),
+            col("idf"), col("boost"), col("contribution"), col("positions")))).as("details")),
         keys, "left")
       .select(
         col("segment_id"), col("doc_id"), col("score"),
         to_json(struct(
           col("score").as("value"),
-          lit("sum of leaf contributions (term exact; phrase-term/dismax informational)")
+          lit("sum of leaf contributions (term+phrase exact; dismax informational)")
             .as("description"),
           col("details"))).as("explain"))
       .orderBy(col("score").desc, col("segment_id").asc, col("doc_id").asc)

@@ -67,6 +67,25 @@ object SummaQL {
     def isKnownField(field: String): Boolean =
       isTextField(field) && schema.isDefined || fastFields.contains(field)
 
+    /** Merge a per-query override over this config — reference
+      * `QueryParserConfig::merge` (`configs/core.rs:143-166`): non-empty
+      * `default_fields` REPLACES, map-valued configs EXTEND (per-key
+      * override), positive `term_limit` replaces, and each `Some` optional
+      * replaces; everything else (schema binding, fast/excluded fields)
+      * keeps the index default, exactly like the reference merge which
+      * leaves unlisted fields untouched.
+      */
+    def merged(p: ConfigPatch): Config = copy(
+      defaultFields = if (p.defaultFields.nonEmpty) p.defaultFields else defaultFields,
+      fieldAliases = fieldAliases ++ p.fieldAliases,
+      fieldBoosts = fieldBoosts ++ p.fieldBoosts,
+      morphologyConfigs = morphologyConfigs ++ p.morphologyConfigs,
+      termFieldMappers = termFieldMappers ++ p.termFieldMappers,
+      termLimit = if (p.termLimit > 0) p.termLimit else termLimit,
+      exactMatchesPromoter = p.exactMatchesPromoter.orElse(exactMatchesPromoter),
+      defaultMode = p.defaultMode.getOrElse(defaultMode),
+      queryLanguage = p.queryLanguage.orElse(queryLanguage))
+
     /** Dotted-path resolution against json fields (reference
       * `Schema::find_field` used at `summa_ql.rs:601-602`): the longest
       * schema-field prefix of a dotted name that is a json field wins, the
@@ -90,6 +109,22 @@ object SummaQL {
         }
       }
   }
+
+  /** Per-query parser-config override carried by [[MatchQuery]] — the Spark
+    * rendering of proto `QueryParserConfig` as used for merging
+    * (`query.proto:118-121`; merge semantics `configs/core.rs:143-166`).
+    * "Unset" is encoded the proto way: empty seq / empty map / 0 / None.
+    */
+  final case class ConfigPatch(
+      defaultFields: Seq[String] = Nil,
+      fieldAliases: Map[String, String] = Map.empty,
+      fieldBoosts: Map[String, Double] = Map.empty,
+      morphologyConfigs: Map[String, Double] = Map.empty,
+      termFieldMappers: Map[String, Seq[String]] = Map.empty,
+      termLimit: Int = 0,
+      exactMatchesPromoter: Option[ExactMatchesPromoter] = None,
+      defaultMode: Option[DefaultMode] = None,
+      queryLanguage: Option[String] = None)
 
   // ------------------------------------------------------------------ lexer
 

@@ -77,6 +77,79 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(err.getMessage.contains("constant") || err.getMessage != null)
   }
 
+  test("named arguments: SQL-standard binding, unknown/duplicate/missing rejected") {
+    GraftSql.install(spark)
+    val want = searcher.topDocsWithKeys(MatchQuery("spark window"), 5)
+      .select("key", "score").collect().toSeq
+    // all named, declaration order irrelevant
+    val allNamed = spark.sql(
+      s"SELECT key, score FROM search_top(k => 5, index => '$indexDir', query => 'spark window')")
+      .collect().toSeq
+    assert(allNamed == want)
+    // positional prefix + named tail
+    val mixed = spark.sql(
+      s"SELECT key, score FROM search_top('$indexDir', 'spark window', k => 5)")
+      .collect().toSeq
+    assert(mixed == want)
+    // optional named arg
+    val offs = spark.sql(
+      s"SELECT key FROM search_top('$indexDir', 'spark window', k => 3, offset => 2)")
+      .collect().map(_.getString(0)).toSeq
+    val wantOffs = searcher.topDocsWithKeys(MatchQuery("spark window"), 3, 2)
+      .select("key").collect().map(_.getString(0)).toSeq
+    assert(offs == wantOffs)
+    // wrong name
+    val unknown = intercept[Exception] {
+      spark.sql(s"SELECT * FROM search_top('$indexDir', 'spark', kk => 5)").collect()
+    }
+    assert(unknown.getMessage.contains("unknown argument name"))
+    // duplicate (positional + named for the same slot)
+    val dup = intercept[Exception] {
+      spark.sql(s"SELECT * FROM search_top('$indexDir', 'spark', 5, k => 6)").collect()
+    }
+    assert(dup.getMessage.contains("duplicate argument"))
+    // missing required
+    val missing = intercept[Exception] {
+      spark.sql(s"SELECT * FROM search_top(index => '$indexDir', k => 5)").collect()
+    }
+    assert(missing.getMessage.contains("missing required argument 'query'"))
+  }
+
+  test("search_agg runs one ES-style aggregation; multi-agg requests rejected") {
+    GraftSql.install(spark)
+    val got = spark.sql(
+      s"""SELECT * FROM search_agg('$indexDir', 'spark',
+         |  '{"by_lang":{"terms":{"field":"lang"}}}')""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = graft.search.Collectors
+      .aggregate(searcher.searchWithDocs(MatchQuery("spark")),
+        graft.search.Collectors.TermsAgg("lang"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want && got.nonEmpty)
+    val multi = intercept[Exception] {
+      spark.sql(s"""SELECT * FROM search_agg('$indexDir', 'spark',
+        |  '{"a":{"terms":{"field":"lang"}},"b":{"stats":{"field":"n"}}}')""".stripMargin)
+        .collect()
+    }
+    assert(multi.getMessage.contains("exactly one aggregation"))
+  }
+
+  test("byPath cache auto-refreshes when a commit moves the snapshot version") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sql-refresh").toString
+    IndexBuilder.build(spark,
+      Seq((1L, "alpha omega", "en", 2)).toDF("doc_id", "text", "lang", "n"),
+      schema, dir, "v1", IndexBuilder.BuildConf(numSegments = 1))
+    GraftSql.install(spark)
+    assert(spark.sql(s"SELECT count(*) FROM search('$dir', 'alpha')")
+      .collect()(0).getLong(0) == 1L)
+    graft.index.Maintenance.addDocuments(spark, dir, schema,
+      Seq((2L, "alpha beta", "de", 2)).toDF("doc_id", "text", "lang", "n"), "v2")
+    // no explicit invalidate: the TVF resolves the new snapshot by itself
+    assert(spark.sql(s"SELECT count(*) FROM search('$dir', 'alpha')")
+      .collect()(0).getLong(0) == 2L)
+  }
+
   test("SummaQL surface works through SQL (field term + phrase)") {
     GraftSql.install(spark)
     val phrase = spark.sql(

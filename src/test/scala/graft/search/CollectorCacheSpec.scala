@@ -85,6 +85,30 @@ class CollectorCacheSpec extends AnyFunSuite {
       "a cache hit must not plan or run any Spark job")
   }
 
+  test("count/facet/agg fruits cache: repeated requests trigger NO Spark job") {
+    val dir = buildIndex(120)
+    val s = new Searcher(new IndexReader(spark, dir), schema) // shared cache
+    val q = TermQuery("text", "merge")
+    // populate all three fruits
+    val n = s.collectCount(q)
+    assert(n > 0)
+    val agg = Collectors.StatsAgg("doc_id")
+    val aggFirst = s.collectAggregate(q, agg)
+    assert(aggFirst.nonEmpty)
+    val sc = spark.sparkContext
+    sc.setJobGroup("cc-fruit-probe", "fruit cache probe", interruptOnCancel = false)
+    try {
+      assert(s.collectCount(q) == n)
+      assert(s.collectAggregate(q, agg).toSeq == aggFirst.toSeq)
+    } finally sc.clearJobGroup()
+    Thread.sleep(500)
+    assert(sc.statusTracker.getJobIdsForGroup("cc-fruit-probe").isEmpty,
+      "a repeated count/agg request must not plan or run any Spark job")
+    // a different collector descriptor over the same query is a distinct key
+    val agg2 = Collectors.TermsAgg("doc_id", 3)
+    assert(s.collectAggregate(q, agg2).nonEmpty)
+  }
+
   test("a commit invalidates via the snapshot-versioned key") {
     val dir = buildIndex(120)
     val s1 = new Searcher(new IndexReader(spark, dir), schema)

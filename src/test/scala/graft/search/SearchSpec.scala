@@ -265,4 +265,28 @@ class SearchSpec extends AnyFunSuite {
       assert(!json.contains("\"term\":\"scan\""))
     }
   }
+
+  test("explainTopDocs: phrase leaf = one pseudo-term, sums with siblings, windows listed") {
+    val q = BooleanQuery(Seq(
+      (Occur.Must, PhraseQuery("text", Seq((0, "spark"), (1, "window")), 0)),
+      (Occur.Should, TermQuery("text", "merge"))))
+    val rows = searcher.explainTopDocs(q, 5).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val json = r.getString(3)
+      assert(json.contains("\"kind\":\"phrase\""))
+      assert(json.contains("\"term\":\"\\\"spark window\\\"\""))
+      // phrase + term contributions sum exactly to the hit score
+      val contribs = """"contribution":([-0-9.eE]+)""".r
+        .findAllMatchIn(json).map(_.group(1).toDouble).toSeq
+      assert(math.abs(contribs.sum - r.getDouble(2)) < 1e-6)
+      // alignment windows: phrase tf equals the positions-array length
+      val tfByKind = """"kind":"phrase","tf":(\d+)""".r
+        .findFirstMatchIn(json).map(_.group(1).toInt)
+      val positions = """"positions":\[([0-9,]*)\]""".r
+        .findFirstMatchIn(json).map(_.group(1)).map(s =>
+          if (s.isEmpty) 0 else s.split(',').length)
+      assert(tfByKind.nonEmpty && tfByKind == positions)
+    }
+  }
 }

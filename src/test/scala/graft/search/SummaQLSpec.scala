@@ -221,6 +221,38 @@ class SummaQLSpec extends AnyFunSuite {
     assert(p("secret:value") == should(T("title", "secret"), T("title", "value")))
     assert(p("secret:value", c) == EmptyQuery)
   }
+
+  test("per-query config patch merges like QueryParserConfig::merge (core.rs:143-166)") {
+    // non-empty default_fields REPLACES the index default
+    val redirected = cfg.merged(SummaQL.ConfigPatch(defaultFields = Seq("body")))
+    assert(p("search engine", redirected) == should(T("body", "search"), T("body", "engine")))
+
+    // default_mode Some replaces: each statement now dismaxes across the
+    // default FIELDS (the reference's per-statement default_mode semantics,
+    // `summa_ql.rs:250-256`) instead of OR-ing them
+    val dm = complexCfg.merged(SummaQL.ConfigPatch(
+      defaultMode = Some(SummaQL.DefaultMode.DisjunctionMax(0.4))))
+    assert(p("search engine", dm) == should(
+      DisjunctionMaxQuery(Seq(T("title", "search"), T("body", "search")), 0.4),
+      DisjunctionMaxQuery(Seq(T("title", "engine"), T("body", "engine")), 0.4)))
+
+    // morphology_configs EXTEND (per-key override); query_language Some
+    // replaces — mirrors the reference morphology-enabled parser tests
+    val base = cfg.copy(morphologyConfigs = Map("body" -> 0.2))
+    val m = base.merged(SummaQL.ConfigPatch(
+      morphologyConfigs = Map("title" -> 0.3), queryLanguage = Some("en")))
+    assert(m.morphologyConfigs == Map("body" -> 0.2, "title" -> 0.3))
+    assert(p("engine", m) ==
+      DisjunctionMaxQuery(Seq(T("title", "engine"), T("title", "engines")), 0.3))
+
+    // positive term_limit replaces; zero keeps the default
+    assert(cfg.merged(SummaQL.ConfigPatch(termLimit = 3)).termLimit == 3)
+    assert(cfg.merged(SummaQL.ConfigPatch()).termLimit == cfg.termLimit)
+
+    // unset patch fields keep every index default (field scoping intact)
+    assert(p("body:'search engine'", cfg.merged(SummaQL.ConfigPatch())) ==
+      PhraseQuery("body", Seq((0, "search"), (1, "engine")), 0))
+  }
 }
 
 /** US/UK spelling expansion (reference english.rs spelling.csv). */
