@@ -82,11 +82,14 @@ object Bench {
       .get.stripPrefix("SPIN_GOPS=").toDouble
   }
 
-  /** Hardware N→4N efficiency right now, per the busy-loop. */
-  private def hwEff(scaleLow: Int, scaleHigh: Int): Double = {
+  /** Hardware N→4N efficiency right now, per the busy-loop; also returns
+    * the ABSOLUTE low-count GOPS — the host-clock proxy used to check that
+    * both halves of a pair saw the same clock.
+    */
+  private def hwEff(scaleLow: Int, scaleHigh: Int): (Double, Double) = {
     val lo = spin(scaleLow)
     val hi = spin(scaleHigh)
-    (hi / lo) / (scaleHigh.toDouble / scaleLow)
+    ((hi / lo) / (scaleHigh.toDouble / scaleLow), lo)
   }
 
   /** Aggregate streaming memory bandwidth (GB/s) at `cpus` pinned threads. */
@@ -208,12 +211,21 @@ object Bench {
     // nothing, starving the min pool of samples. A forced pair (built after
     // 2 skips) can only be SLOWER than truth — it joins the min pool, which
     // is bias-free under additive noise, but can never count as clean
+    // the VM's absolute clock BOOSTS ±20% in idle windows with transitions
+    // shorter than a pair (~100 s): a pair whose 2c half ran boosted and 8c
+    // half didn't reads 0.70-0.78 for a 0.87-engine. The busy-loop RATIO
+    // probe can't see that — only absolute clock readings bracketing each
+    // half can. A pair is clean only when the three low-count spin readings
+    // (before tl / between halves / after th) agree within this spread.
+    val maxClockSpread = sys.env.getOrElse("GRAFT_BENCH_MAX_CLOCK_SPREAD", "1.10").toDouble
+    val clockSeen = Vector.newBuilder[Double]
     var skipStreak = 0
     var built = 0
     while (accepted < reps && attempts < maxAttempts && built < reps + 3) {
       attempts += 1
-      val hwBefore = hwEff(scaleLow, scaleHigh)
+      val (hwBefore, clkBefore) = hwEff(scaleLow, scaleHigh)
       hwSeen += hwBefore
+      clockSeen += clkBefore
       val cleanBefore = hwBefore >= minHwEff && bwOk()
       if (cleanBefore || skipStreak >= 2) {
         skipStreak = 0
@@ -222,19 +234,27 @@ object Bench {
           System.err.println("[bench] degraded-window pair forced (min-pool only)")
         val tl = pinnedBuild(pagesDir, s"$work/index_low_$attempts", scaleLow, 1)
         // probe BETWEEN the halves: the 4N build is the bandwidth-sensitive
-        // one, and the before/after probes straddle a ~90 s gap a burst can
-        // hide inside
+        // one, and the before/after probes straddle a ~90 s gap a burst (or
+        // a clock transition) can hide inside
+        val clkMid = spin(scaleLow)
+        clockSeen += clkMid
         val bwMidOk = bwOk()
         val th = pinnedBuild(pagesDir, s"$work/index_mid_$attempts", scaleHigh, 1)
-        val hwAfter = hwEff(scaleLow, scaleHigh)
+        val (hwAfter, clkAfter) = hwEff(scaleLow, scaleHigh)
         hwSeen += hwAfter
+        clockSeen += clkAfter
+        val clks = Seq(clkBefore, clkMid, clkAfter)
+        val clockSpread = clks.max / clks.min
         // a burst-polluted pair still contributes to the min pool (additive
         // noise only ever slows a build) — it just doesn't count as clean
-        val clean = cleanBefore && bwMidOk && hwAfter >= minHwEff && bwOk()
+        val clean = cleanBefore && bwMidOk && hwAfter >= minHwEff && bwOk() &&
+          clockSpread <= maxClockSpread
         pairs += ((tl, th, math.min(hwBefore, hwAfter), clean))
+        System.err.println(f"[bench] pair eff=${(tl / th) / (scaleHigh.toDouble / scaleLow)}%.3f " +
+          f"clock_spread=$clockSpread%.3f clean=$clean")
         if (clean) accepted += 1
         else if (cleanBefore)
-          System.err.println(f"[bench] pair kept for min-pool only (instrument burst mid-pair)")
+          System.err.println(f"[bench] pair kept for min-pool only (instrument burst or clock shift mid-pair)")
       } else {
         skipStreak += 1
         System.err.println(f"[bench] pair skipped (cpu $hwBefore%.3f or bandwidth below floor)")
@@ -364,6 +384,7 @@ object Bench {
         f""""build_docs_per_sec_${cpusHigh}c":$thrFull%.1f,""" +
         s""""pair_efficiencies":$pairEffsJson,"pair_clean":${allPairs.map(_._4).mkString("[", ",", "]")},""" +
         s""""hw_busyloop_efficiencies":$hwJson,""" +
+        s""""clock_gops":${clockSeen.result().map(c => f"$c%.3f").mkString("[", ",", "]")},""" +
         s""""membw_gbps":${bwSeen.result().map(e => f"$e%.1f").mkString("[", ",", "]")},""" +
         f""""scaling_pair":"${scaleLow}c->${scaleHigh}c","scaling_efficiency_best_of":$effBestOf%.3f,""" +
         f""""scaling_efficiency":$eff%.3f}"""

@@ -47,7 +47,10 @@ object MemBwProbe {
 object SpinProbe {
   def main(args: Array[String]): Unit = {
     val n = args(0).toInt
-    val iters = 600000000L
+    // ~1.3s of measured loop at this VM's clock: long enough that probe
+    // noise is ~±1-2% (the clock-spread gate in Bench compares absolute
+    // readings across a pair, so probe noise eats directly into its margin)
+    val iters = 1200000000L
     val out = new Array[Long](n)
     val threads = Array.tabulate(n) { k =>
       new Thread(() => {
