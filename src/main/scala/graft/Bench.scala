@@ -167,7 +167,13 @@ object Bench {
     // land inside one pair. (Concurrent disjoint-core pairs were tried and
     // rejected: the co-running low build steals shared memory bandwidth and
     // inflates the high build ~40%.)
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    // standard median: even-sized inputs average the two middle elements
+    // (with exactly two clean pairs the upper-element shortcut would bias
+    // the headline up — not defensible for a gate metric)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
     // instrument check around every pair: when even a pinned register-only
     // busy-loop scales < minHwEff from N to 4N threads (observed as low as
     // 0.60 during host-steal bursts on this VM), the box physically cannot
