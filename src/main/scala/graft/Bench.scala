@@ -227,7 +227,11 @@ object Bench {
     val clockSeen = Vector.newBuilder[Double]
     var skipStreak = 0
     var built = 0
-    while (accepted < reps && attempts < maxAttempts && built < reps + 3) {
+    // up to 2 extra builds when fewer than 2 clean pairs exist: the clean
+    // median needs at least 2 and a bad-weather run is worth ~5 extra
+    // minutes before falling back to the all-pairs median
+    def builtCap: Int = if (accepted < 2) reps + 5 else reps + 3
+    while (accepted < reps && attempts < maxAttempts && built < builtCap) {
       attempts += 1
       val (hwBefore, clkBefore) = hwEff(scaleLow, scaleHigh)
       hwSeen += hwBefore
@@ -279,14 +283,17 @@ object Bench {
     val pairTimes = allPairs.map(p => (p._1, p._2))
     def pairEff(tl: Double, th: Double): Double = (tl / th) / (scaleHigh.toDouble / scaleLow)
     val effs = pairTimes.map { case (tl, th) => pairEff(tl, th) }
-    // the HEADLINE median runs over CLEAN pairs only — degraded-window and
-    // burst-hit pairs are biased low (bandwidth steal hits the 4N half
-    // hardest) and belong to the min pool alone. A single clean pair is a
-    // coin flip, not a median — require at least 2 before trusting the
-    // clean subset, otherwise fall back to every pair so a fully-degraded
-    // host still yields a number
+    // the HEADLINE median runs over CLEAN pairs only — degraded-window,
+    // burst-hit and clock-shifted pairs are biased (mostly low: bandwidth
+    // steal hits the 4N half hardest) and belong to the min pool alone.
+    // Even a single clean pair beats the all-pairs median: it passed the
+    // full instrument battery (busyloop floor, bandwidth floor ×3 probes,
+    // clock-consistency bracket), while the all-pairs median knowingly
+    // mixes in pairs the instruments rejected. Fall back to every pair
+    // only when NO clean pair exists, so a fully-degraded host still
+    // yields a number (attributable via the probe arrays in the JSON).
     val cleanEffs = allPairs.filter(_._4).map(p => pairEff(p._1, p._2))
-    val headlineEffs = if (cleanEffs.size >= 2) cleanEffs else effs
+    val headlineEffs = if (cleanEffs.nonEmpty) cleanEffs else effs
     System.err.println("[bench] pair_efficiencies=" +
       effs.map(e => f"$e%.3f").mkString(",") +
       " clean=" + allPairs.map(_._4).mkString(",") +
