@@ -46,7 +46,7 @@ object Bench {
     * returns the median build seconds.
     */
   private def launchBuild(
-      pagesDir: String, indexDir: String, coreList: String, cpus: Int, reps: Int): () => Double = {
+      pagesDir: String, indexDir: String, coreList: String, cpus: Int, reps: Int): () => (Double, Double) = {
     val java = s"${System.getProperty("java.home")}/bin/java"
     val cp = System.getProperty("java.class.path")
     val cmd = Seq("taskset", "-c", coreList, java,
@@ -60,11 +60,22 @@ object Bench {
       out.toString.linesIterator.find(_.startsWith("BUILD_SECONDS_ALL="))
         .foreach(l => System.err.println(s"[bench] ${cpus}c $l"))
       val line = out.toString.linesIterator.find(_.startsWith("BUILD_SECONDS=")).get
-      line.stripPrefix("BUILD_SECONDS=").toDouble
+      // task cpu-seconds of the whole child (warmup included, ~1% of work):
+      // an IN-SITU consistency instrument — bandwidth stalls burn cpu time
+      // and clock boosts shrink it, integrated over the actual build rather
+      // than sampled by probes around it
+      val cpuSec = out.toString.linesIterator.find(_.startsWith("TASK_TIME"))
+        .flatMap(l => "cpu=([0-9.]+)s".r.findFirstMatchIn(l).map(_.group(1).toDouble))
+        .getOrElse(0.0)
+      (line.stripPrefix("BUILD_SECONDS=").toDouble, cpuSec)
     }
   }
 
   private def pinnedBuild(pagesDir: String, indexDir: String, cpus: Int, reps: Int): Double =
+    launchBuild(pagesDir, indexDir, s"0-${cpus - 1}", cpus, reps)()._1
+
+  private def pinnedBuildWithCpu(
+      pagesDir: String, indexDir: String, cpus: Int, reps: Int): (Double, Double) =
     launchBuild(pagesDir, indexDir, s"0-${cpus - 1}", cpus, reps)()
 
   /** Pinned busy-loop throughput (GOPS) at `cpus` threads — the host-state
@@ -242,26 +253,33 @@ object Bench {
         built += 1
         if (!cleanBefore)
           System.err.println("[bench] degraded-window pair forced (min-pool only)")
-        val tl = pinnedBuild(pagesDir, s"$work/index_low_$attempts", scaleLow, 1)
+        val (tl, cpuL) = pinnedBuildWithCpu(pagesDir, s"$work/index_low_$attempts", scaleLow, 1)
         // probe BETWEEN the halves: the 4N build is the bandwidth-sensitive
         // one, and the before/after probes straddle a ~90 s gap a burst (or
         // a clock transition) can hide inside
         val clkMid = spin(scaleLow)
         clockSeen += clkMid
         val bwMidOk = bwOk()
-        val th = pinnedBuild(pagesDir, s"$work/index_mid_$attempts", scaleHigh, 1)
+        val (th, cpuH) = pinnedBuildWithCpu(pagesDir, s"$work/index_mid_$attempts", scaleHigh, 1)
         val (hwAfter, clkAfter) = hwEff(scaleLow, scaleHigh)
         hwSeen += hwAfter
         clockSeen += clkAfter
         val clks = Seq(clkBefore, clkMid, clkAfter)
         val clockSpread = clks.max / clks.min
+        // in-situ consistency: both halves do the same work, so their task
+        // cpu-seconds should agree up to mild contention inflation at 4N.
+        // Bandwidth stalls during the 4N half burn EXTRA on-cpu cycles the
+        // around-probes can miss entirely; a clock boost during one half
+        // shrinks its cpu-seconds. Integrated over the whole build — no
+        // probe gap. (Diagnostic this round; bounds via env once calibrated.)
+        val cpuRatio = if (cpuL > 0) cpuH / cpuL else 1.0
         // a burst-polluted pair still contributes to the min pool (additive
         // noise only ever slows a build) — it just doesn't count as clean
         val clean = cleanBefore && bwMidOk && hwAfter >= minHwEff && bwOk() &&
           clockSpread <= maxClockSpread
         pairs += ((tl, th, math.min(hwBefore, hwAfter), clean))
         System.err.println(f"[bench] pair eff=${(tl / th) / (scaleHigh.toDouble / scaleLow)}%.3f " +
-          f"clock_spread=$clockSpread%.3f clean=$clean")
+          f"clock_spread=$clockSpread%.3f cpu_ratio=$cpuRatio%.3f clean=$clean")
         if (clean) accepted += 1
         else if (cleanBefore)
           System.err.println(f"[bench] pair kept for min-pool only (instrument burst or clock shift mid-pair)")

@@ -46,7 +46,10 @@ object QueryIndex {
     val query = args(1)
     val k = if (args.length > 2) args(2).toInt else 10
     val spark = SparkSession.builder().appName("graft-query-index").getOrCreate()
-    val s = new Searcher(new IndexReader(spark, indexDir), IndexSchema.pages)
+    // indexes self-describe via _schema.json since r3; the pages schema is
+    // only the fallback for pre-schema-file index dirs
+    val schema = IndexSchema.load(spark, indexDir).getOrElse(IndexSchema.pages)
+    val s = new Searcher(new IndexReader(spark, indexDir), schema)
     s.topDocsWithKeys(MatchQuery(query), k).show(k, truncate = false)
     spark.stop()
   }
@@ -58,8 +61,9 @@ object CompactIndex {
     val indexDir = args(0)
     val minSegs = if (args.length > 1) args(1).toInt else 8
     val spark = SparkSession.builder().appName("graft-compact-index").getOrCreate()
+    val schema = IndexSchema.load(spark, indexDir).getOrElse(IndexSchema.pages)
     val created = Maintenance.autoCompact(
-      spark, indexDir, IndexSchema.pages, s"compact-${java.util.UUID.randomUUID()}", minSegs)
+      spark, indexDir, schema, s"compact-${java.util.UUID.randomUUID()}", minSegs)
     println(s"COMPACTED new_segments=${created.mkString(",")}")
     spark.stop()
   }
