@@ -78,6 +78,22 @@ object Bench {
       pagesDir: String, indexDir: String, cpus: Int, reps: Int): (Double, Double) =
     launchBuild(pagesDir, indexDir, s"0-${cpus - 1}", cpus, reps)()
 
+  /** Run `body` with [[BallastSpin]] occupying cores `[from, until)` —
+    * equal-socket-load measurement: the N-core half of a pair runs with
+    * 4N-N ballast cores busy so both halves see the same frequency state
+    * (see BallastSpin scaladoc; disable via GRAFT_BENCH_BALLAST=0).
+    */
+  private def withBallast[A](from: Int, until: Int)(body: => A): A = {
+    if (until <= from || sys.env.get("GRAFT_BENCH_BALLAST").contains("0")) return body
+    val java = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val cmd = Seq("taskset", "-c", s"$from-${until - 1}", java, "-Xmx128m", "-cp", cp,
+      "graft.BallastSpin", (until - from).toString)
+    val proc = Process(cmd).run(ProcessLogger(_ => (), _ => ()))
+    try body
+    finally proc.destroy()
+  }
+
   /** Pinned busy-loop throughput (GOPS) at `cpus` threads — the host-state
     * instrument check (see [[SpinProbe]]).
     */
@@ -256,7 +272,14 @@ object Bench {
         built += 1
         if (!cleanBefore)
           System.err.println("[bench] degraded-window pair forced (min-pool only)")
-        val (tl, cpuL) = pinnedBuildWithCpu(pagesDir, s"$work/index_low_$attempts", scaleLow, 1)
+        // the N-core half runs under ballast on cores [N, 4N): equal busy-
+        // core count in both halves removes the load-dependent turbo
+        // artifact (run-8 evidence: healthy bandwidth all run, yet every
+        // 4N half burned 10-18% more cpu — the idle-socket 2c halves were
+        // clock-boosted, deflating each ratio with no cluster analog)
+        val (tl, cpuL) = withBallast(scaleLow, scaleHigh) {
+          pinnedBuildWithCpu(pagesDir, s"$work/index_low_$attempts", scaleLow, 1)
+        }
         // probe BETWEEN the halves: the 4N build is the bandwidth-sensitive
         // one, and the before/after probes straddle a ~90 s gap a burst (or
         // a clock transition) can hide inside
@@ -312,7 +335,8 @@ object Bench {
       // document that the instrument, not the engine, failed)
       System.err.println("[bench] WARNING: host never reached hw-eff floor; measuring unfiltered")
       allPairs = (1 to reps).toVector.map { i =>
-        (pinnedBuild(pagesDir, s"$work/index_low_u$i", scaleLow, 1),
+        (withBallast(scaleLow, scaleHigh)(
+          pinnedBuild(pagesDir, s"$work/index_low_u$i", scaleLow, 1)),
           pinnedBuild(pagesDir, s"$work/index_mid_u$i", scaleHigh, 1), 0.0, false)
       }
     }

@@ -44,6 +44,37 @@ object MemBwProbe {
   }
 }
 
+/** Register-only busy threads that run until the process is killed — the
+  * socket-load BALLAST for [[Bench]]'s scaling pairs: during the N-core
+  * build it occupies the other 4N-N cores of the build's core block so the
+  * same number of cores is busy in both halves of a pair. This VM's clock
+  * is load-dependent (an idle socket turbo-boosts a 2-core build ~10-15%
+  * over the 8-core build's clock), which deflates the measured N→4N ratio
+  * with an artifact that has NO cluster analog — a cluster's per-executor
+  * clock does not depend on how many executors the job uses. The ballast is
+  * register-only (no memory traffic) and pinned off the build's cores, so
+  * it equalizes frequency state without competing for the measured
+  * resources.
+  */
+object BallastSpin {
+  def main(args: Array[String]): Unit = {
+    val n = args(0).toInt
+    val out = new Array[Long](n)
+    val threads = Array.tabulate(n) { k =>
+      new Thread(() => {
+        var x: Long = k
+        while (true) {
+          var j = 0
+          while (j < 1000000) { x = x * 6364136223846793005L + 1442695040888963407L; j += 1 }
+          out(k) = x // visible side effect each block; loop runs until kill
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+  }
+}
+
 object SpinProbe {
   def main(args: Array[String]): Unit = {
     val n = args(0).toInt

@@ -72,6 +72,19 @@ object IndexBuilder {
     */
   final case class PreToken(position: Int, text: String)
 
+  /** The FLAT analyzed-field shape the build pipeline carries: parallel
+    * primitive arrays instead of an array of [[TermGroup]] structs. Catalyst
+    * encodes this ~30% faster than the nested shape (one strings array +
+    * three primitive arrays vs per-term struct rows), and building it
+    * directly from the accumulator map allocates no intermediate TermGroup
+    * objects — allocation churn is the memory-bandwidth tax the wide build
+    * pays hardest. `posOff` has terms.length+1 entries; term i's packed
+    * delta-varint positions are `posFlat[posOff(i), posOff(i+1))`.
+    */
+  final case class TokFlat(
+      len: Int, norm: Int, terms: Array[String], tfs: Array[Int],
+      posFlat: Array[Byte], posOff: Array[Int])
+
   /** Per-term accumulator for [[analyzeField]]: tf + the delta-varint
     * position bytes written INCREMENTALLY (byte-identical to
     * [[PostingCodec.packDocPositions]] over the collected array). Avoids the
@@ -125,6 +138,20 @@ object IndexBuilder {
   }
 
   private def groupTokens(n: Int, text: Int => String, pos: Int => Int): TokField = {
+    val m = accumulate(n, text, pos)
+    val terms = sortedTerms(m)
+    val groups = new Array[TermGroup](terms.length)
+    var i = 0
+    while (i < terms.length) {
+      val acc = m.get(terms(i))
+      groups(i) = TermGroup(terms(i), acc.tf, java.util.Arrays.copyOf(acc.buf, acc.len))
+      i += 1
+    }
+    TokField(n, FieldNorm.encode(n.toLong), groups)
+  }
+
+  private def accumulate(
+      n: Int, text: Int => String, pos: Int => Int): java.util.HashMap[String, TermAcc] = {
     val m = new java.util.HashMap[String, TermAcc]()
     var i = 0
     while (i < n) {
@@ -134,16 +161,77 @@ object IndexBuilder {
       acc.addPos(pos(i))
       i += 1
     }
+    m
+  }
+
+  private def sortedTerms(m: java.util.HashMap[String, TermAcc]): Array[String] = {
     val terms = m.keySet().toArray(new Array[String](m.size))
     java.util.Arrays.sort(terms.asInstanceOf[Array[AnyRef]])
-    val groups = new Array[TermGroup](terms.length)
-    i = 0
-    while (i < terms.length) {
+    terms
+  }
+
+  /** Flat-shape tokenize for the build's hot path: same grouping semantics
+    * as [[analyzeField]] (term-sorted, positions in token order, byte-
+    * identical packed deltas) with zero intermediate group objects.
+    */
+  def analyzeFieldFlat(analyzerName: String, value: String): TokFlat = {
+    if (value == null)
+      return TokFlat(0, 0, Array.empty, Array.empty, Array.empty, Array(0))
+    val toks = Analyzers(analyzerName).tokenize(value)
+    groupTokensFlat(toks.length, i => toks(i).text, i => toks(i).position)
+  }
+
+  private def groupTokensFlat(n: Int, text: Int => String, pos: Int => Int): TokFlat = {
+    val m = accumulate(n, text, pos)
+    val terms = sortedTerms(m)
+    val k = terms.length
+    val tfs = new Array[Int](k)
+    val posOff = new Array[Int](k + 1)
+    var total = 0
+    var i = 0
+    while (i < k) {
       val acc = m.get(terms(i))
-      groups(i) = TermGroup(terms(i), acc.tf, java.util.Arrays.copyOf(acc.buf, acc.len))
+      tfs(i) = acc.tf
+      posOff(i) = total
+      total += acc.len
       i += 1
     }
-    TokField(n, FieldNorm.encode(n.toLong), groups)
+    posOff(k) = total
+    val posFlat = new Array[Byte](total)
+    i = 0
+    while (i < k) {
+      val acc = m.get(terms(i))
+      System.arraycopy(acc.buf, 0, posFlat, posOff(i), acc.len)
+      i += 1
+    }
+    TokFlat(n, FieldNorm.encode(n.toLong), terms, tfs, posFlat, posOff)
+  }
+
+  /** Nested → flat conversion for the cold token paths (json / bytes / ip
+    * analyzers return the nested shape).
+    */
+  def toFlat(tf: TokField): TokFlat = {
+    val k = tf.terms.length
+    val terms = new Array[String](k)
+    val tfs = new Array[Int](k)
+    val posOff = new Array[Int](k + 1)
+    var total = 0
+    var i = 0
+    while (i < k) {
+      terms(i) = tf.terms(i).term
+      tfs(i) = tf.terms(i).tf
+      posOff(i) = total
+      total += tf.terms(i).positions.length
+      i += 1
+    }
+    posOff(k) = total
+    val posFlat = new Array[Byte](total)
+    i = 0
+    while (i < k) {
+      System.arraycopy(tf.terms(i).positions, 0, posFlat, posOff(i), tf.terms(i).positions.length)
+      i += 1
+    }
+    TokFlat(tf.len, tf.norm, terms, tfs, posFlat, posOff)
   }
 
   /** The canonical doc-order shuffle feeding [[assignDocIds]]: range
@@ -457,14 +545,16 @@ object IndexBuilder {
             while (fi < nFields) {
               val tok = r.getAs[Row](tokIdxs(fi))
               val norm = tok.getInt(1).toByte
-              val groups = tok.getSeq[Row](2)
+              val terms = tok.getSeq[String](2)
+              val tfs = tok.getSeq[Int](3)
+              val posFlat = tok.getAs[Array[Byte]](4)
+              val posOff = tok.getSeq[Int](5)
               val withPos = withPosArr(fi)
               val m = maps(fi)
               var gi = 0
-              while (gi < groups.length) {
-                val g = groups(gi)
-                val term = g.getString(0)
-                val tf = g.getInt(1)
+              while (gi < terms.length) {
+                val term = terms(gi)
+                val tf = tfs(gi)
                 var frag = m.get(term)
                 if (frag == null) {
                   frag = new Frag
@@ -480,7 +570,7 @@ object IndexBuilder {
                 if (ni < frag.minNorm) frag.minNorm = ni
                 frag.sumTf += tf
                 if (withPos) {
-                  val pb = g.getAs[Array[Byte]](2)
+                  val pb = java.util.Arrays.copyOfRange(posFlat, posOff(gi), posOff(gi + 1))
                   frag.posChunks += pb
                   frag.posLen += pb.length
                 }
@@ -657,17 +747,18 @@ object IndexBuilder {
     val tokCols: Map[String, org.apache.spark.sql.Column] = schema.fields.map { f =>
       val an = f.analyzer
       val expr = f.fieldType match {
-        case "json"  => udf((s: String) => JsonField.analyzeJson(an, s)).apply(col(f.name).cast(StringType))
-        case "bytes" => udf((s: String) => TypedFields.singleTok(Option(s).flatMap(TypedFields.bytesTerm))).apply(col(f.name).cast(StringType))
-        case "ip"    => udf((s: String) => TypedFields.singleTok(TypedFields.ipTerm(s))).apply(col(f.name).cast(StringType))
+        case "json"  => udf((s: String) => toFlat(JsonField.analyzeJson(an, s))).apply(col(f.name).cast(StringType))
+        case "bytes" => udf((s: String) => toFlat(TypedFields.singleTok(Option(s).flatMap(TypedFields.bytesTerm)))).apply(col(f.name).cast(StringType))
+        case "ip"    => udf((s: String) => toFlat(TypedFields.singleTok(TypedFields.ipTerm(s)))).apply(col(f.name).cast(StringType))
         case _ =>
           pages.schema.find(_.name == f.name).map(_.dataType) match {
             case Some(st: StructType)
                 if st.fieldNames.contains("text") && st.fieldNames.contains("tokens") =>
               udf((text: String, toks: Seq[PreToken]) =>
-                if (toks == null) analyzeField(an, text) else analyzePreTokenized(toks))
+                if (toks == null) analyzeFieldFlat(an, text)
+                else toFlat(analyzePreTokenized(toks)))
                 .apply(col(s"${f.name}.text"), col(s"${f.name}.tokens"))
-            case _ => udf((s: String) => analyzeField(an, s)).apply(col(f.name).cast(StringType))
+            case _ => udf((s: String) => analyzeFieldFlat(an, s)).apply(col(f.name).cast(StringType))
           }
       }
       f.name -> expr
