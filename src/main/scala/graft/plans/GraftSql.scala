@@ -130,25 +130,31 @@ object GraftSql {
     (
       "search",
       args => {
-        val Seq(index, query) = bindArgs("search", Seq("index", "query"), 2, args)
+        val Seq(index, query, config) =
+          bindArgs("search", Seq("index", "query", "config"), 2, args)
         val s = searcherFor(strArg("search", index.get, "index"))
-        s.searchWithDocs(MatchQuery(strArg("search", query.get, "query")))
+        s.searchWithDocs(MatchQuery(strArg("search", query.get, "query"),
+          config.map(c => graft.search.ConfigPatchJson.parse(strArg("search", c, "config")))))
           .queryExecution.logical
       },
-      "_FUNC_(index, query) - all matching docs (stored fields + score) of a SummaQL query"),
+      "_FUNC_(index, query[, config]) - all matching docs (stored fields + score) of a " +
+        "SummaQL query; config = proto-JSON query_parser_config override"),
     (
       "search_top",
       args => {
-        val Seq(index, query, k, offset) =
-          bindArgs("search_top", Seq("index", "query", "k", "offset"), 3, args)
+        val Seq(index, query, k, offset, config) =
+          bindArgs("search_top", Seq("index", "query", "k", "offset", "config"), 3, args)
         val s = searcherFor(strArg("search_top", index.get, "index"))
         s.topDocsWithKeys(
-          MatchQuery(strArg("search_top", query.get, "query")),
+          MatchQuery(strArg("search_top", query.get, "query"),
+            config.map(c =>
+              graft.search.ConfigPatchJson.parse(strArg("search_top", c, "config")))),
           intArg("search_top", k.get, "k"),
           offset.map(intArg("search_top", _, "offset")).getOrElse(0))
           .queryExecution.logical
       },
-      "_FUNC_(index, query, k[, offset]) - top-k docs by BM25 with stored fields"),
+      "_FUNC_(index, query, k[, offset, config]) - top-k docs by BM25 with stored fields; " +
+        "config = proto-JSON query_parser_config override"),
     (
       "index_docs",
       args => {

@@ -115,6 +115,23 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(missing.getMessage.contains("missing required argument 'query'"))
   }
 
+  test("per-query parser-config override through the TVF surface") {
+    GraftSql.install(spark)
+    // the index default fields are [text]; the config patch redirects this
+    // one request to the raw lang field (query.proto:118-121 through SQL)
+    val got = spark.sql(
+      s"""SELECT count(*) FROM search('$indexDir', 'en',
+         |  '{"default_fields": ["lang"]}')""".stripMargin).collect()(0).getLong(0)
+    assert(got == searcher.count(MatchQuery("lang:en")) && got > 0)
+    // without the patch, 'en' searches text and matches nothing
+    assert(spark.sql(s"SELECT count(*) FROM search('$indexDir', 'en')")
+      .collect()(0).getLong(0) == 0L)
+    val bad = intercept[Exception] {
+      spark.sql(s"SELECT * FROM search('$indexDir', 'en', '{\"nope\": 1}')").collect()
+    }
+    assert(bad.getMessage.contains("unknown query_parser_config field"))
+  }
+
   test("search_agg runs one ES-style aggregation; multi-agg requests rejected") {
     GraftSql.install(spark)
     val got = spark.sql(

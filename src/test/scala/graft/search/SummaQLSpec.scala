@@ -253,6 +253,35 @@ class SummaQLSpec extends AnyFunSuite {
     assert(p("body:'search engine'", cfg.merged(SummaQL.ConfigPatch())) ==
       PhraseQuery("body", Seq((0, "search"), (1, "engine")), 0))
   }
+
+  test("ConfigPatchJson parses the proto-JSON query_parser_config rendering") {
+    val patch = ConfigPatchJson.parse(
+      """{"default_fields": ["body"],
+        |  "field_aliases": {"t": "title"},
+        |  "field_boosts": {"title": 2.0},
+        |  "term_limit": 8,
+        |  "default_mode": {"disjunction_max": {"tie_breaker": 0.3}},
+        |  "morphology_configs": {"title": {"derive_tenses_coefficient": 0.25}},
+        |  "term_field_mappers": {"doi": ["doi"]},
+        |  "query_language": "en"}""".stripMargin)
+    assert(patch.defaultFields == Seq("body"))
+    assert(patch.fieldAliases == Map("t" -> "title"))
+    assert(patch.fieldBoosts == Map("title" -> 2.0))
+    assert(patch.termLimit == 8)
+    assert(patch.defaultMode.contains(SummaQL.DefaultMode.DisjunctionMax(0.3)))
+    assert(patch.morphologyConfigs == Map("title" -> 0.25))
+    assert(patch.termFieldMappers == Map("doi" -> Seq("doi")))
+    assert(patch.queryLanguage.contains("en"))
+    // merged parse redirects fields exactly like a directly-built patch
+    assert(p("search engine", cfg.merged(patch)) ==
+      should(T("body", "search"), T("body", "engine")))
+    // empty object = no-op patch; unknown fields rejected
+    assert(cfg.merged(ConfigPatchJson.parse("{}")) == cfg)
+    intercept[IllegalArgumentException](ConfigPatchJson.parse("""{"nope": 1}"""))
+    // reference-proto spelling of the dismax mode accepted
+    assert(ConfigPatchJson.parse("""{"default_mode":{"disjuction_max":{"tie_breaker":0.5}}}""")
+      .defaultMode.contains(SummaQL.DefaultMode.DisjunctionMax(0.5)))
+  }
 }
 
 /** US/UK spelling expansion (reference english.rs spelling.csv). */
