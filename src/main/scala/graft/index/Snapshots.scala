@@ -67,14 +67,17 @@ object Snapshots {
     * hidden tmp file and RENAMED into place, so readers either see a complete
     * version file or none at all (atomic visibility — a reader refreshing
     * mid-commit must never parse partial bytes). Version allocation is made
-    * exclusive by CLAIMING the slot first with `create(vNNNNNN.lock, false)`
-    * — an O_EXCL-backed exclusive create — before renaming the payload:
-    * rename alone cannot carry the claim because on Hadoop's local
+    * exclusive by three layers: (1) a per-directory JVM monitor — Hadoop
+    * local-FS `create(path, overwrite=false)` is exists-then-open, not
+    * O_EXCL, so in-process threads need real mutual exclusion; (2) a
+    * `vNNNNNN.lock` claim file for cross-process committers; (3) an
+    * exists(dst) check under the lock plus rename-failure-as-lost-race,
+    * because rename alone cannot carry the claim — on Hadoop's raw local
     * filesystem it maps to rename(2), which silently replaces an existing
     * destination. Of two concurrent committers computing the same next
-    * version exactly one wins the lock and the loser retries with the
-    * following version. Only the already-exists condition retries — any
-    * other IO failure (disk full, permissions) is rethrown immediately. A
+    * version exactly one publishes it and the loser retries with the
+    * following version. Only the already-exists/lost-race conditions retry —
+    * any other IO failure (disk full, permissions) is rethrown immediately. A
     * committer that dies between claim and rename orphans one version
     * number (readers filter on `.json`, later committers skip past it) —
     * versions may skip, never collide. The index is still
@@ -100,8 +103,21 @@ object Snapshots {
       ((prev.map(_.frozen).getOrElse(Set.empty) ++ freeze) -- unfreeze) & segments.toSet
     val tmp = new Path(d, s".tmp-${java.util.UUID.randomUUID()}.json")
     var committed: Option[Snapshot] = None
+    // In-process commits are fully serialized per snapshot directory: Hadoop
+    // local-FS `create(path, overwrite=false)` is exists-check-then-open, NOT
+    // O_EXCL, so two threads in one JVM can both "win" the same lock file.
+    // One JVM = one Spark driver is the common deploy; the monitor makes that
+    // case airtight. The lock-file protocol below still guards cross-process.
+    val mon = jvmCommitLocks.computeIfAbsent(d.toString, _ => new Object)
+    mon.synchronized {
     try {
       var attempts = 0
+      def lostRace(lock: Path): Unit = {
+        f.delete(lock, false)
+        attempts += 1
+        require(attempts < 1000, s"snapshot commit lost the version race $attempts times")
+        next += 1
+      }
       while (committed.isEmpty) {
         val dst = new Path(d, f"v$next%06d.json")
         val lock = new Path(d, f"v$next%06d.lock")
@@ -114,16 +130,29 @@ object Snapshots {
             case _: java.nio.file.FileAlreadyExistsException        => false
             case e: java.io.IOException => if (f.exists(lock)) false else throw e
           }
-        if (claimed) {
-          try {
-            val snap =
-              Snapshot(next, segments.sorted, buildId, System.currentTimeMillis(), frozen)
-            val out = f.create(tmp, true)
-            out.write(render(snap).getBytes(UTF_8))
-            out.close()
-            require(f.rename(tmp, dst), s"snapshot rename failed: $tmp -> $dst")
+        if (claimed && f.exists(dst)) {
+          // Lost race despite winning the lock: the prior claimant committed
+          // dst and released its lock before we computed `next`. Local-FS
+          // rename(2) silently replaces the destination, so renaming here
+          // would clobber a committed snapshot — bump and retry instead.
+          // (Safe because the winner renames dst into place BEFORE releasing
+          // the lock in its finally, so lock-holders always observe dst.)
+          lostRace(lock)
+        } else if (claimed) {
+          val snap =
+            Snapshot(next, segments.sorted, buildId, System.currentTimeMillis(), frozen)
+          val out = f.create(tmp, true)
+          out.write(render(snap).getBytes(UTF_8))
+          out.close()
+          if (f.rename(tmp, dst)) {
+            f.delete(lock, false)
             committed = Some(snap)
-          } finally f.delete(lock, false)
+          } else {
+            // A cross-process racer that slipped past the non-atomic lock
+            // create published dst first (FS with no-replace rename
+            // semantics). Their snapshot stands; take the next slot.
+            lostRace(lock)
+          }
         } else {
           attempts += 1
           require(attempts < 1000, s"snapshot commit lost the version race $attempts times")
@@ -131,8 +160,13 @@ object Snapshots {
         }
       }
     } finally f.delete(tmp, false)
+    }
     committed.get
   }
+
+  /** Serializes in-process committers per `_snapshots` dir (see commit()). */
+  private val jvmCommitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private def render(s: Snapshot): String =
     s"""{"version":${s.version},"segments":[${s.segments.mkString(",")}],""" +

@@ -306,4 +306,31 @@ class CompactionSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(oldReader.snapshot.get.segments == before.segments)
     assert(new Searcher(oldReader, schema).count(TermQuery("text", "spark")) == 200L)
   }
+
+  test("concurrent commits never clobber: distinct versions, payloads intact") {
+    // Lost-race shape the lock closes: two committers compute the same `next`;
+    // the loser may claim the lock AFTER the winner released it, and on local
+    // FS rename(2) silently replaces the destination. The exists(dst)-under-
+    // lock check must make it bump instead. Drive 16 truly concurrent commits
+    // (all launched before any finishes) and verify every one landed on its
+    // own version with its buildId intact.
+    val dir = Files.createTempDirectory("graft-race").toString
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val futures = (0 until 16).map { i =>
+      Future { gate.await(); Snapshots.commit(spark, dir, Seq(i), s"b$i") }
+    }
+    gate.countDown()
+    val snaps = Await.result(Future.sequence(futures), 60.seconds)
+    pool.shutdown()
+    assert(snaps.map(_.version).distinct.size == 16, "version collision = clobber")
+    // every committed file still carries the buildId that claimed its version
+    snaps.foreach { s =>
+      val onDisk = new IndexReader(spark, dir, atVersion = Some(s.version)).snapshot.get
+      assert(onDisk.buildId == s.buildId, s"v${s.version} was clobbered")
+    }
+  }
 }

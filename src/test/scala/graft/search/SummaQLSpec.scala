@@ -272,9 +272,14 @@ class SummaQLSpec extends AnyFunSuite {
     assert(patch.morphologyConfigs == Map("title" -> 0.25))
     assert(patch.termFieldMappers == Map("doi" -> Seq("doi")))
     assert(patch.queryLanguage.contains("en"))
-    // merged parse redirects fields exactly like a directly-built patch
+    // merged parse redirects fields exactly like a directly-built patch.
+    // Reference shape: dismax mode wraps each word's per-field queries in a
+    // DisjunctionMaxQuery even when there is a single default field
+    // (summa_ql.rs:249-254); reduce_should_clause (:139-161) unwraps only
+    // singleton BooleanQuery should-clauses, never dismax.
     assert(p("search engine", cfg.merged(patch)) ==
-      should(T("body", "search"), T("body", "engine")))
+      should(DisjunctionMaxQuery(Seq(T("body", "search")), 0.3),
+             DisjunctionMaxQuery(Seq(T("body", "engine")), 0.3)))
     // empty object = no-op patch; unknown fields rejected
     assert(cfg.merged(ConfigPatchJson.parse("{}")) == cfg)
     intercept[IllegalArgumentException](ConfigPatchJson.parse("""{"nope": 1}"""))
