@@ -143,11 +143,19 @@ object Bench {
     // at ~1.3× the pair wall-clock
     val nPages = sys.env.getOrElse("GRAFT_BENCH_PAGES", "800000").toLong
     // median-of-N adjacent (low, high) pairs (single-run variance on this VM
-    // is large enough to flip the >=0.8 scaling gate); 6 keeps a
-    // good-weather run near ~23 min — the 800k corpus made pairs ~30%
-    // longer and the bad-weather extra-build path must stay inside a
-    // plausible driver time budget
-    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "6").toInt
+    // is large enough to flip the >=0.8 scaling gate); 8 (r5, was 6) raises
+    // the odds of >=2 instrument-clean pairs in a bad window — r4's driver
+    // run got 0 clean out of 8 built. The loop below is DEADLINE-aware, so a
+    // good-weather run still finishes early and a bad one cannot bust the
+    // driver's ~45-min window.
+    val reps = sys.env.getOrElse("GRAFT_BENCH_REPS", "8").toInt
+    val startedAt = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - startedAt) / 1e9
+    // soft budget: stop building new pairs once exceeded (unless no clean
+    // pair exists yet); hard budget: stop unconditionally, leaving ~5 min of
+    // driver window for the full-machine builds + query phase
+    val softBudget = sys.env.getOrElse("GRAFT_BENCH_SOFT_BUDGET_SEC", "1900").toDouble
+    val hardBudget = sys.env.getOrElse("GRAFT_BENCH_HARD_BUDGET_SEC", "2500").toDouble
 
     // RAM-backed workdir when available: the sandbox's host disk bandwidth
     // fluctuates ±40% run-to-run, which dominated single-build variance and
@@ -261,7 +269,12 @@ object Bench {
     // median needs at least 2 and a bad-weather run is worth ~5 extra
     // minutes before falling back to the all-pairs median
     def builtCap: Int = if (accepted < 2) reps + 5 else reps + 3
-    while (accepted < reps && attempts < maxAttempts && built < builtCap) {
+    // deadline awareness: keep collecting pairs while inside the soft
+    // budget; past it, continue ONLY while fewer than 2 clean pairs exist
+    // (the clean median needs 2), never past the hard budget
+    def timeOk: Boolean =
+      elapsedSec < softBudget || (accepted < 2 && elapsedSec < hardBudget)
+    while (accepted < reps && attempts < maxAttempts && built < builtCap && timeOk) {
       attempts += 1
       val (hwBefore, clkBefore) = hwEff(scaleLow, scaleHigh)
       hwSeen += hwBefore
@@ -314,8 +327,12 @@ object Bench {
           if (cpuRatio > 0) cpuRatio >= minCpuRatio && cpuRatio <= maxCpuRatio
           else clockSpread <= maxClockSpread
         // a burst-polluted pair still contributes to the min pool (additive
-        // noise only ever slows a build) — it just doesn't count as clean
-        val clean = hwBefore >= minHwEff && hwAfter >= minHwEff && consistent
+        // noise only ever slows a build) — it just doesn't count as clean.
+        // cleanBefore is part of the conjunction so a FORCED pair (built
+        // after 2 instrument skips, i.e. the entry gate said the window was
+        // degraded) truly stays min-pool-only as promised above — even when
+        // its in-situ cpu ratio happens to read consistent
+        val clean = cleanBefore && hwBefore >= minHwEff && hwAfter >= minHwEff && consistent
         pairs += ((tl, th, math.min(hwBefore, hwAfter), clean))
         cpuRatios += cpuRatio
         locally { val _ = bwMidOk } // mid-probe value lives in the bw arrays
@@ -442,15 +459,58 @@ object Bench {
         (Occur.Should, TermQuery("text", "body42"))))
     )
 
+    // the query phase gets the SAME weather discipline as builds (r4's
+    // driver run read a 10x q_head_term outlier that was unattributable
+    // post-hoc because this phase had no instruments): gate the start on the
+    // bandwidth floor, bracket each pass with membw+spin probes, and retry
+    // the whole pass once when a probe flags the window — per-query result
+    // is the min of pass medians (interference only ever slows a query)
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    queries.foreach { case (name, q) =>
-      try {
-        searcher.topDocs(q, 10).collect() // warm
-        val times = (1 to 5).map(_ => time(searcher.topDocs(q, 10).collect()))
-        results(name) = times.sorted.apply(times.size / 2)
-      } catch {
-        case _: Throwable => results(name) = -1.0
+    val queryBw = Vector.newBuilder[Double]
+    val queryClock = Vector.newBuilder[Double]
+    var queryPasses = 0
+    var queryClean = false
+    def queryProbe(): Boolean = {
+      val bw = memBw(scaleHigh)
+      val clk = spin(scaleLow)
+      queryBw += bw
+      queryClock += clk
+      bwAll += bw
+      bw >= math.max(minBwFrac * bwRef(), minBwAbs)
+    }
+    def runQueryPass(): Map[String, Double] =
+      queries.map { case (name, q) =>
+        name -> (try {
+          searcher.topDocs(q, 10).collect() // warm
+          val times = (1 to 5).map(_ => time(searcher.topDocs(q, 10).collect()))
+          times.sorted.apply(times.size / 2)
+        } catch {
+          case _: Throwable => -1.0
+        })
+      }.toMap
+    locally {
+      var guard = 0
+      while (!queryProbe() && guard < 4) {
+        System.err.println("[bench] query phase delayed (bandwidth below floor)")
+        Thread.sleep(15000)
+        guard += 1
       }
+      var best = runQueryPass()
+      queryPasses = 1
+      queryClean = queryProbe() // after-pass probe: was the window clean end-to-end?
+      if (!queryClean && elapsedSec < hardBudget) {
+        System.err.println("[bench] query pass flagged by after-probe; retrying once")
+        Thread.sleep(10000)
+        val cleanStart = queryProbe()
+        val second = runQueryPass()
+        queryPasses = 2
+        queryClean = cleanStart && queryProbe()
+        best = best.map { case (k, v) =>
+          val w = second(k)
+          k -> (if (v < 0) w else if (w < 0) v else math.min(v, w))
+        }
+      }
+      queries.foreach { case (name, _) => results(name) = best(name) }
     }
     results(s"index_build_${scaleLow}c") = tBuildLow
     results(s"index_build_${scaleHigh}c") = tBuildMid
@@ -490,6 +550,9 @@ object Bench {
         s""""clock_gops":${clockSeen.result().map(c => f"$c%.3f").mkString("[", ",", "]")},""" +
         s""""pair_cpu_ratios":${cpuRatios.result().map(c => f"$c%.3f").mkString("[", ",", "]")},""" +
         s""""membw_gbps":${bwSeen.result().map(e => f"$e%.1f").mkString("[", ",", "]")},""" +
+        s""""query_membw_gbps":${queryBw.result().map(e => f"$e%.1f").mkString("[", ",", "]")},""" +
+        s""""query_clock_gops":${queryClock.result().map(c => f"$c%.3f").mkString("[", ",", "]")},""" +
+        s""""query_passes":$queryPasses,"query_weather_clean":$queryClean,""" +
         f""""scaling_pair":"${scaleLow}c->${scaleHigh}c","scaling_efficiency_best_of":$effBestOf%.3f,""" +
         effAdjusted.map(a => f""""scaling_efficiency_cpu_adjusted":$a%.3f,""").getOrElse("") +
         f""""scaling_efficiency":$eff%.3f}"""

@@ -51,12 +51,35 @@ object GraftSql {
 
   private val byPath = TrieMap[String, Searcher]()
 
+  /** Short-TTL memo of each directory's latest snapshot version, so repeated
+    * TVF queries within a window skip the `Snapshots.latest` filesystem
+    * listing (a listStatus + JSON read — cheap locally, a real per-query
+    * planning tax on object stores). Staleness bound = [[probeTtlMillis]];
+    * a commit becomes visible to TVFs at most that much later, and
+    * [[invalidate]] drops the memo immediately.
+    */
+  private val probeTtlMillis: Long =
+    sys.env.get("GRAFT_TVF_REFRESH_MS").map(_.toLong).getOrElse(2000L)
+  private val latestProbe = TrieMap[String, (Long, Option[Int])]()
+
+  private def latestVersion(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Option[Int] = {
+    val t = System.currentTimeMillis()
+    latestProbe.get(dir) match {
+      case Some((at, v)) if t - at <= probeTtlMillis => v
+      case _ =>
+        val v = graft.index.Snapshots.latest(spark, dir).map(_.version)
+        latestProbe.put(dir, (t, v))
+        v
+    }
+  }
+
   /** Drop the cached searcher of `dir` (readers pin the snapshot they
     * opened). Rarely needed by callers: [[searcherFor]] auto-refreshes when
     * the directory's latest snapshot version moves past the cached reader's
     * pinned version — the reader reload-on-commit of the reference.
     */
-  def invalidate(dir: String): Unit = { byPath.remove(dir); () }
+  def invalidate(dir: String): Unit = { byPath.remove(dir); latestProbe.remove(dir); () }
 
   def searcherFor(ref: String): Searcher = {
     val spark = org.apache.spark.sql.SparkSession.active
@@ -70,10 +93,10 @@ object GraftSql {
       case _: IllegalArgumentException =>
         byPath.get(ref) match {
           case Some(cached)
-              if cached.reader.snapshot.map(_.version) ==
-                graft.index.Snapshots.latest(spark, ref).map(_.version) =>
+              if cached.reader.snapshot.map(_.version) == latestVersion(spark, ref) =>
             cached
           case _ =>
+            latestProbe.remove(ref)
             val s = fresh()
             byPath.put(ref, s)
             s
@@ -165,19 +188,23 @@ object GraftSql {
     (
       "search_agg",
       args => {
-        val Seq(index, query, aggs) =
-          bindArgs("search_agg", Seq("index", "query", "aggs"), 3, args)
+        val Seq(index, query, aggs, config) =
+          bindArgs("search_agg", Seq("index", "query", "aggs", "config"), 3, args)
         val s = searcherFor(strArg("search_agg", index.get, "index"))
         val parsed = graft.search.AggJson.parse(strArg("search_agg", aggs.get, "aggs"))
         require(parsed.size == 1,
           "search_agg: the request must contain exactly one aggregation " +
             "(a TVF returns one table) - issue one call per aggregation")
         graft.search.Collectors
-          .aggregate(s.searchWithDocs(MatchQuery(strArg("search_agg", query.get, "query"))),
+          .aggregate(
+            s.searchWithDocs(MatchQuery(strArg("search_agg", query.get, "query"),
+              config.map(c =>
+                graft.search.ConfigPatchJson.parse(strArg("search_agg", c, "config"))))),
             parsed.head._2)
           .queryExecution.logical
       },
-      "_FUNC_(index, query, aggs_json) - an ES-style aggregation over the docs matching a SummaQL query")
+      "_FUNC_(index, query, aggs_json[, config]) - an ES-style aggregation over the docs " +
+        "matching a SummaQL query; config = proto-JSON query_parser_config override")
   )
 
   private def descriptions: Seq[(FunctionIdentifier, ExpressionInfo,

@@ -66,7 +66,10 @@ final class CollectorCache(maxEntries: Int = 128, ttlMillis: Long = 120000L) {
     * facets, aggregations — not just top-docs (`collector_cache.rs:7-109`,
     * wired for all kinds at `index_holder.rs:460-505`; only reservoir
     * sampling is never cached, its fruit being non-deterministic). `compute`
-    * runs on miss; its row array is the stored fruit.
+    * runs on miss; its row array is the stored fruit. Concurrent misses on
+    * the same key may each run `compute` (benign duplicate work — the lock is
+    * never held across a Spark job); the returned array is always a defensive
+    * copy so a caller mutating it cannot poison later hits.
     */
   def fruit(searcher: Searcher, q: Query, descriptor: String)(
       compute: => Array[Row]): Array[Row] = {
@@ -74,10 +77,10 @@ final class CollectorCache(maxEntries: Int = 128, ttlMillis: Long = 120000L) {
     synchronized {
       Option(cache.get(k)).filter(e => now() - e.insertedAt <= ttlMillis)
     } match {
-      case Some(e) => e.rows
+      case Some(e) => e.rows.clone()
       case None =>
         val rows = compute
-        synchronized { cache.put(k, Entry(rows, blockHasNext = false, now())); () }
+        synchronized { cache.put(k, Entry(rows.clone(), blockHasNext = false, now())); () }
         rows
     }
   }

@@ -290,3 +290,70 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Single-token-field fast path (docs-scan term query) must be bitwise
+  * score-identical to the posting-join plan it replaces, and must not touch
+  * the postings table at all.
+  */
+class FastTermSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val schemaFast = IndexSchema(
+    keyField = "doc_id",
+    fields = Seq(
+      FieldDef("text", "summa", "position"),
+      FieldDef("lang", "raw", "basic")),
+    defaultFields = Seq("text"),
+    storedFields = Seq("lang")
+  )
+
+  private lazy val indexDir: String = {
+    val dir = Files.createTempDirectory("graft-fastterm").toString
+    import spark.implicits._
+    val langs = Vector("en", "de", "fr", "zh")
+    val rnd = new scala.util.Random(7)
+    val rows = Vector.tabulate(400) { i =>
+      val words = Vector.fill(5 + rnd.nextInt(30))(Vector("spark", "merge", "scan", "the")(rnd.nextInt(4)))
+      (i.toLong, words.mkString(" "), langs(rnd.nextInt(langs.size)))
+    }
+    IndexBuilder.build(spark, rows.toDF("doc_id", "text", "lang"), schemaFast, dir,
+      "fastterm", IndexBuilder.BuildConf(numSegments = 3, blockBits = 4))
+    dir
+  }
+
+  private def scores(s: Searcher, q: Query): Map[(Int, Int), Double] =
+    s.search(q).collect()
+      .map(r => (r.getAs[Int]("segment_id"), r.getAs[Int]("doc_id")) -> r.getAs[Double]("score"))
+      .toMap
+
+  test("docs-scan term query: bitwise score-identical to the posting plan") {
+    val reader = new Searcher(new IndexReader(spark, indexDir), schemaFast)
+    // same index, fast path disabled by dropping the stored-field eligibility
+    val slow = new Searcher(reader.reader, schemaFast.copy(storedFields = Nil))
+    assert(reader.fastTermCi("lang").contains(false) && slow.fastTermCi("lang").isEmpty)
+
+    for (q <- Seq[Query](
+        TermQuery("lang", "en"),
+        BooleanQuery(Seq(
+          (Occur.Must, TermQuery("lang", "en")),
+          (Occur.Should, TermQuery("text", "spark")))))) {
+      val fast = scores(reader, q)
+      val ref = scores(slow, q)
+      assert(fast.keySet == ref.keySet, s"doc sets differ for $q")
+      fast.foreach { case (k, s) =>
+        assert(s == ref(k), s"score not bitwise-equal for $k: $s vs ${ref(k)}") // exact, no epsilon
+      }
+    }
+  }
+
+  test("fast path never scans postings; topDocs skips WAND for raw fields") {
+    val searcher = new Searcher(new IndexReader(spark, indexDir), schemaFast)
+    val plan = searcher.search(TermQuery("lang", "en")).queryExecution.executedPlan.toString
+    assert(!plan.contains("postings"), s"fast path must not read postings:\n$plan")
+    val top = searcher.topDocs(BooleanQuery(Seq((Occur.Should, TermQuery("lang", "en")))), 10)
+    assert(!top.queryExecution.executedPlan.toString.contains("postings"))
+    assert(top.collect().length == 10)
+    // unknown term on the raw field: empty, not a docs-scan false positive
+    assert(searcher.search(TermQuery("lang", "nope")).collect().isEmpty)
+  }
+}
