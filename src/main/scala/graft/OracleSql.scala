@@ -362,6 +362,189 @@ object OracleSql {
        |WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= $minJaccard
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Deterministic reservoir sample — replays
+    * Collectors.reservoirSampleDeterministic's Algorithm R fold (Lehmer
+    * MINSTD LCG, accept when `s mod i < k`) over the doc_id-ordered hits of
+    * a raw-word containment test (equivalent to the engine's filtered-token
+    * match for a non-stop-word term) as a recursive CTE.
+    */
+  def reservoirDeterministic(term: String, k: Int, seed: Long): String = {
+    val s0 = ((seed % 2147483646L) + 2147483646L) % 2147483646L + 1
+    s"""WITH RECURSIVE hits AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE list_contains(string_split(text, ' '), '$term')
+       |),
+       |l AS (SELECT list(doc_id ORDER BY doc_id) AS ds FROM hits),
+       |step(i, r, s) AS (
+       |  SELECT 0, []::BIGINT[], $s0::BIGINT FROM l
+       |  UNION ALL
+       |  SELECT i + 1,
+       |    CASE WHEN len(r) < $k THEN list_append(r, ds[i+1])
+       |         WHEN ((s * 48271) % 2147483647) % (i + 1) < $k THEN
+       |           list_concat(list_concat(
+       |             r[1:(((s * 48271) % 2147483647) % (i + 1))::INT],
+       |             [ds[i+1]]),
+       |             r[(((s * 48271) % 2147483647) % (i + 1))::INT + 2 : $k])
+       |         ELSE r END,
+       |    CASE WHEN len(r) < $k THEN s ELSE (s * 48271) % 2147483647 END
+       |  FROM step, l WHERE i < len(ds)
+       |)
+       |SELECT unnest(r) AS doc_id FROM step, l WHERE i = len(ds)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** MinHash + LSH banding near-dup pairs — mirrors Dedup.minhashLshPairs
+    * end-to-end: the oracle-portable hash family (char fold mod 1e9+7,
+    * per-seed affine map, banded fold) reproduces the ENGINE's candidate set
+    * exactly, then verifies with the same exact Jaccard as the ngram oracle.
+    */
+  def minhashLshPairs(n: Int, numHashes: Int, bands: Int, minJaccard: Double): String = {
+    val rows = numHashes / bands
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') ws FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(ws[i:i+${n - 1}], ' ') AS s
+       |  FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - ${n - 1}, 1))) i) g
+       |),
+       |uh AS (
+       |  SELECT doc_id, s,
+       |         list_reduce(
+       |           list_prepend(0::BIGINT,
+       |             [ ascii(c)::BIGINT FOR c IN string_split(s, '') ]),
+       |           (a, b) -> (a * 31 + b) % 1000000007) AS u
+       |  FROM sh
+       |),
+       |sig AS (
+       |  SELECT doc_id, seed,
+       |         min((((2654435761 * (seed + 1)) % 1000000007) * u +
+       |              ((1779033703 * (seed + 1) + 144169) % 1000000007)) % 1000000007) AS mh
+       |  FROM uh, LATERAL (SELECT unnest(generate_series(0, ${numHashes - 1})) seed) g
+       |  GROUP BY 1, 2
+       |),
+       |band AS (
+       |  SELECT doc_id, band,
+       |         list_reduce(
+       |           list_prepend((band + 1)::BIGINT, list(mh ORDER BY seed)),
+       |           (a, b) -> (a * 1000003 + b) % 1000000007) AS bh
+       |  FROM (SELECT doc_id, seed, mh, seed // $rows AS band FROM sig)
+       |  GROUP BY 1, 2
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM band a JOIN band b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |p AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.id_a
+       |  JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+       |  GROUP BY 1, 2
+       |)
+       |SELECT id_a, id_b,
+       |       round(inter::DOUBLE / (sa.sz + sb.sz - inter), 4) AS jaccard
+       |FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= $minJaccard
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** SimHash near-dup pairs — mirrors Dedup.simhashPairs with the
+    * oracle-portable word-hash family (two char folds mod 4294967291 packed
+    * as the high/low 32 bits). The 64-bit value is never packed here: bit i
+    * is read straight from the appropriate fold (low 32 from h2, high from
+    * h1), chunks and hamming distance are computed from the bit table.
+    */
+  def simhashPairs(maxHamming: Int): String = {
+    val chunks = maxHamming + 1
+    val bits = 64 / chunks
+    s"""WITH tf AS (
+       |  SELECT doc_id, w, count(*) AS c
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY 1, 2
+       |),
+       |wh AS (
+       |  SELECT doc_id, c,
+       |         list_reduce(
+       |           list_prepend(0::BIGINT, [ ascii(ch)::BIGINT FOR ch IN string_split(w, '') ]),
+       |           (a, b) -> (a * 31 + b) % 4294967291) AS h1,
+       |         list_reduce(
+       |           list_prepend(0::BIGINT, [ ascii(ch)::BIGINT FOR ch IN string_split(w, '') ]),
+       |           (a, b) -> (a * 131 + b) % 4294967291) AS h2
+       |  FROM tf
+       |),
+       |acc AS (
+       |  SELECT doc_id, i,
+       |         sum(CASE WHEN (CASE WHEN i < 32 THEN h2 // (1::BIGINT << i)
+       |                             ELSE h1 // (1::BIGINT << (i - 32)) END) % 2 = 1
+       |                  THEN c ELSE -c END) AS a
+       |  FROM wh, LATERAL (SELECT unnest(generate_series(0, 63)) i) g
+       |  GROUP BY 1, 2
+       |),
+       |db AS (SELECT doc_id, i, CASE WHEN a > 0 THEN 1 ELSE 0 END AS b FROM acc),
+       |ck AS (
+       |  SELECT doc_id, i // $bits AS chunk, sum(b * (1::BIGINT << (i % $bits))) AS cv
+       |  FROM db GROUP BY 1, 2
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ck a JOIN ck b
+       |    ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id
+       |),
+       |ham AS (
+       |  SELECT c.id_a, c.id_b,
+       |         sum(CASE WHEN x.b <> y.b THEN 1 ELSE 0 END)::INT AS hamming
+       |  FROM cand c
+       |  JOIN db x ON x.doc_id = c.id_a
+       |  JOIN db y ON y.doc_id = c.id_b AND y.i = x.i
+       |  GROUP BY 1, 2
+       |)
+       |SELECT id_a, id_b, hamming FROM ham
+       |WHERE hamming <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Multi-table hyperplane-LSH ANN top-k — mirrors Similarity.annTopK with
+    * the oracle-portable plane family (affine step + quadratic scramble mod
+    * 1e9+7, linear index seed + 1000·table + plane·dim + dim-pos): a vector
+    * is a candidate when its sign signature is within hamming distance 1 of
+    * the query's in ANY table, then exact cosine top-k over candidates.
+    */
+  def annLsh(k: Int, nTables: Int, nPlanes: Int, dim: Int, seed: Long): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |coef AS (
+       |  SELECT t, i, j,
+       |         ((u1 * u1 + 12345) % 1000000007)::DOUBLE / 1000000007 - 0.5 AS c
+       |  FROM (
+       |    SELECT t, i, j,
+       |           (($seed + 1000 * t + i * $dim + j + 1) * 2654435761 + 104729)
+       |             % 1000000007 AS u1
+       |    FROM (SELECT unnest(generate_series(0, ${nTables - 1})) t),
+       |         (SELECT unnest(generate_series(0, ${nPlanes - 1})) i),
+       |         (SELECT unnest(generate_series(0, ${dim - 1})) j)
+       |  )
+       |),
+       |dots AS (
+       |  SELECT e.vec_id, c.t, c.i, sum(e.v[c.j + 1] * c.c) AS d
+       |  FROM e, coef c GROUP BY 1, 2, 3
+       |),
+       |sig AS (
+       |  SELECT vec_id, t,
+       |         sum(CASE WHEN d >= 0 THEN 1::BIGINT << i ELSE 0 END)::BIGINT AS b
+       |  FROM dots GROUP BY 1, 2
+       |),
+       |qsig AS (SELECT t, b AS qb FROM sig WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT DISTINCT s.vec_id
+       |  FROM sig s JOIN qsig q ON s.t = q.t
+       |  WHERE bit_count(xor(s.b, q.qb)) <= 1
+       |),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+       |SELECT e.vec_id,
+       |       round(list_dot_product(e.v, q.qv) /
+       |             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+       |FROM e JOIN cand USING (vec_id), q
+       |ORDER BY cosine DESC, vec_id LIMIT $k""".stripMargin
+
   /** Exact embedding-cosine pairs — mirrors Dedup.cosinePairs. */
   def cosinePairs(minCos: Double): String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

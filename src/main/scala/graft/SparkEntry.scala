@@ -276,11 +276,14 @@ object SparkEntry {
       Collectors.facetCounts(d, "facets", "/src")
     }),
     "q_reservoir" -> ((sp, dir) => {
-      // rows-only: random sample (seeded); contract tested in CollectorsSpec
+      // deterministic portable reservoir (Algorithm R + Lehmer LCG) over the
+      // doc_id-ordered hit stream — full DuckDB oracle replays the fold; the
+      // scale-out skip-gap sampler's contract is pinned in CollectorsSpec
       val s = DocsIndex.searcher(sp, dir)
-      val sample = Collectors.reservoirSample(s.search(TermQuery("text", "spark")), 15, seed = 42)
+      val ids = DocsIndex.matchedIds(s, TermQuery("text", "spark"))
+      val sample = Collectors.reservoirSampleDeterministic(ids, 15, seed = 42)
       import sp.implicits._
-      sample.toSeq.toDF("segment_id", "doc_id").orderBy("segment_id", "doc_id")
+      sample.toSeq.toDF("doc_id").orderBy("doc_id")
     }),
     "q_mlt" -> ((sp, dir) => {
       // MoreLikeThis: deterministic tf*idf expansion of doc 0's text into a
@@ -318,8 +321,8 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     "q_dedup_minhash" -> ((sp, dir) => {
-      // no SQL oracle (hash-function specific) → driver rows-only check;
-      // equality with exact jaccard pairs is asserted in OpsSpec
+      // oracle-portable hash family (mod-1e9+7 folds) → full DuckDB oracle;
+      // equality with exact jaccard pairs additionally asserted in OpsSpec
       ops.Dedup.minhashLshPairs(
         sp.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 3, 16, 8, 0.8)
         .orderBy("id_a", "id_b")
@@ -341,8 +344,9 @@ object SparkEntry {
       ops.Similarity.cosineTopK(emb, "vec_id", "embedding", q, 20)
     }),
     "q_ann_lsh" -> ((sp, dir) => {
-      // scale-path ANN: rows-only check (bucketing is hash-specific);
-      // recall contract tested in OpsSpec on planted clusters
+      // scale-path ANN; hyperplanes come from the oracle-portable family so
+      // the DuckDB oracle reproduces buckets + probes exactly; recall
+      // contract additionally tested in OpsSpec on planted clusters
       val emb = sp.read.parquet(s"$dir/embeddings.parquet")
       val q = emb.filter(col("vec_id") === 0).select("embedding").head()
         .getSeq[Float](0).map(_.toDouble).toArray
@@ -506,9 +510,13 @@ object SparkEntry {
     "q_facet" ->
       """SELECT '/src/' || source AS facet, count(*) AS cnt
         |FROM documents GROUP BY 1 ORDER BY facet""".stripMargin,
+    "q_reservoir" -> OracleSql.reservoirDeterministic("spark", 15, 42L),
     "q_dedup_ngram" -> OracleSql.ngramJaccardPairs(0.8),
+    "q_dedup_minhash" -> OracleSql.minhashLshPairs(3, 16, 8, 0.8),
+    "q_dedup_simhash" -> OracleSql.simhashPairs(7),
     "q_dedup_embed" -> OracleSql.cosinePairs(0.45),
     "q_ann_brute" -> OracleSql.cosineTopK(20),
+    "q_ann_lsh" -> OracleSql.annLsh(10, 4, 8, 64, 42L),
     "q_text_stats" -> OracleSql.textStats,
     "q_text_fingerprint" -> OracleSql.textFingerprint,
     "q_multimodal_features" -> OracleSql.multimodalFeatures

@@ -99,14 +99,49 @@ object Dedup {
     verifyJaccard(candidates, withSh, minJaccard)
   }
 
-  /** MinHash signature column: for each of `numHashes` seeds, the minimum
-    * `xxhash64(shingle, seed)` over the doc's shingles — all computed with
-    * codegen'd higher-order functions, no UDF.
+  /** Modulus of the oracle-portable hash family: a 30-bit prime keeps every
+    * intermediate (`acc*31 + char`, `a*u + b`) far below 2^63, so the SAME
+    * plain BIGINT arithmetic is exact in Spark and in the DuckDB oracle — no
+    * wrapping semantics to emulate (cf. the HUGEINT mod-2^64 dance the
+    * fingerprint oracle needs).
+    */
+  val HashP = 1000000007L
+
+  /** Oracle-portable string hash: left char fold `h = (h*31 + ascii(c)) mod
+    * HashP`, expressed with codegen'd HOFs (Spark) and `list_reduce` (DuckDB
+    * oracle) — bit-identical in both engines.
+    */
+  def portableStringHash(s: Column): Column =
+    when(length(s) < 1, lit(0L)).otherwise(
+      aggregate(
+        sequence(lit(1), length(s)),
+        lit(0L),
+        (acc, i) => (acc * 31 + ascii(s.substr(i, lit(1)))) % HashP))
+
+  /** MinHash signature column: for each seed `s`, the minimum of the
+    * pairwise-independent family `h_s(x) = (a_s·u(x) + b_s) mod HashP` over
+    * the doc's shingles, with `u` = [[portableStringHash]] and `(a_s, b_s)`
+    * fixed multiplier-derived constants — all codegen'd higher-order
+    * functions, no UDF, and exactly reproducible by the DuckDB oracle
+    * (r3's xxhash64 family was not SQL-portable, leaving the driver a
+    * rows-only check).
     */
   def minhashSignature(sh: Column, numHashes: Int): Column =
+    minhashSignatureOfHashes(transform(sh, portableStringHash(_)), numHashes)
+
+  /** Signature over PRE-HASHED shingles (`uh` = array of
+    * [[portableStringHash]] values). Callers that band afterwards hash each
+    * shingle once here instead of once per seed — the char fold is the
+    * expensive part, the per-seed affine map is two multiplies.
+    */
+  def minhashSignatureOfHashes(uh: Column, numHashes: Int): Column =
     transform(
       sequence(lit(0), lit(numHashes - 1)),
-      s => array_min(transform(sh, x => xxhash64(x, s)))
+      s => {
+        val a = (lit(2654435761L) * (s.cast("long") + 1L)) % HashP
+        val b = (lit(1779033703L) * (s.cast("long") + 1L) + 144169L) % HashP
+        array_min(transform(uh, u => (a * u + b) % HashP))
+      }
     )
 
   /** MinHash + LSH banding near-duplicate pairs. Signatures are banded; docs
@@ -127,15 +162,24 @@ object Dedup {
     val rows = numHashes / bands
     val withSh = df
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("uh", transform(col("sh"), portableStringHash(_)))
+      .withColumn("sig", minhashSignatureOfHashes(col("uh"), numHashes))
+      .drop("uh")
     // the band join carries ONLY (id, band-key): shingle arrays re-join by id
-    // during verification, halving the candidate-shuffle width
+    // during verification, halving the candidate-shuffle width. The band
+    // hash is a fold over the band's signature slice seeded by the band
+    // index — same oracle-portable arithmetic as the signatures.
     val banded = withSh.select(
       col("id"),
       explode(
         transform(
           sequence(lit(0), lit(bands - 1)),
-          b => struct(b.as("band"), xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), b).as("bh"))
+          b => struct(
+            b.as("band"),
+            aggregate(
+              slice(col("sig"), b * rows + 1, lit(rows)),
+              b.cast("long") + 1L,
+              (acc, v) => (acc * 1000003L + v) % HashP).as("bh"))
         )
       ).as("bk")
     )
@@ -149,9 +193,33 @@ object Dedup {
     verifyJaccard(candidates, withSh.select(col("id"), col("sh")), minJaccard)
   }
 
+  /** Modulus of the simhash word-hash family: the largest prime below 2^32,
+    * so each of the two 32-bit halves is near-uniform over all 32 bit
+    * positions and every fold intermediate (`acc*mult + char` < 2^40) is
+    * exact in plain BIGINT arithmetic in both Spark and the DuckDB oracle.
+    */
+  val SimhashP: Long = 4294967291L
+
+  /** Oracle-portable 64-bit word hash: two independent char folds
+    * (multipliers 31 and 131) mod [[SimhashP]], packed high/low — replaces
+    * the r4 Murmur3 pair, which no SQL engine can reproduce.
+    */
+  private[ops] def simhashWordHash(w: String): Long = {
+    var h1 = 0L; var h2 = 0L
+    var i = 0
+    while (i < w.length) {
+      val c = w.charAt(i).toLong
+      h1 = (h1 * 31 + c) % SimhashP
+      h2 = (h2 * 131 + c) % SimhashP
+      i += 1
+    }
+    (h1 << 32) | h2
+  }
+
   /** 64-bit SimHash over whitespace tokens weighted by tf (pure column
     * expressions would need 64 accumulators; a compact UDF is clearer and
-    * this op is per-row embarrassingly parallel).
+    * this op is per-row embarrassingly parallel). Hash family is
+    * oracle-portable — the DuckDB oracle reproduces the full pipeline.
     */
   private val simhashUdf = udf { (text: String) =>
     if (text == null) 0L
@@ -160,8 +228,7 @@ object Dedup {
       text.split(' ').foreach(w => counts.merge(w, 1, _ + _))
       val acc = new Array[Int](64)
       counts.forEach { (w, c) =>
-        val h = scala.util.hashing.MurmurHash3.stringHash(w, 0x9747b28c).toLong << 32 |
-          (scala.util.hashing.MurmurHash3.stringHash(w, 0x85ebca6b).toLong & 0xFFFFFFFFL)
+        val h = simhashWordHash(w)
         var i = 0
         while (i < 64) {
           if (((h >>> i) & 1L) == 1L) acc(i) += c else acc(i) -= c

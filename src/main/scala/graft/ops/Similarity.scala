@@ -38,10 +38,25 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic pseudo-random unit-ish hyperplanes (seeded, data-free). */
+  /** Deterministic pseudo-random hyperplanes (seeded, data-free), from an
+    * ORACLE-PORTABLE hash family: coefficient (i, j) maps its linear index
+    * through an affine step then a quadratic scramble mod the 30-bit prime
+    * 1e9+7 (`u1 = ((k+1)·2654435761 + 104729) mod P`; `u2 = (u1² + 12345)
+    * mod P`; coef = u2/P − 0.5). Every intermediate fits in a signed 64-bit
+    * integer, so plain BIGINT SQL reproduces the planes bit-exactly — the
+    * r4 `Random.nextGaussian` family was not SQL-expressible, which kept
+    * `q_ann_lsh` a rows-only driver check. Sign-hash LSH needs symmetric,
+    * well-scattered directions, not true Gaussians; the quadratic scramble
+    * breaks the Weyl-lattice structure of the affine step, and the
+    * planted-cluster recall contract in OpsSpec pins the quality.
+    */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+    val P = 1000000007L
+    Array.tabulate(nPlanes, dim) { (i, j) =>
+      val k = seed + i.toLong * dim + j
+      val u1 = ((k + 1) * 2654435761L + 104729L) % P
+      ((u1 * u1 + 12345L) % P).toDouble / P - 0.5
+    }
   }
 
   /** Sign-bit signature of a vector against the hyperplanes → bucket id. */

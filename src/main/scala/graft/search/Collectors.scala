@@ -26,6 +26,41 @@ object Collectors {
 
   // ------------------------------------------------- ReservoirSampling C7
 
+  /** Oracle-portable deterministic reservoir: Algorithm R with a Lehmer
+    * MINSTD LCG (`s' = s·48271 mod 2³¹−1`, accept element i when
+    * `s' mod i < k`) over the FIRST column's values in ascending order on a
+    * single partition. Every step is plain integer arithmetic, so the
+    * driver's DuckDB oracle replays the identical fold (recursive CTE) —
+    * which the skip-gap/`nextGaussian` sampler below cannot offer (its gap
+    * lengths hinge on bit-exact `log`/`exp`, not portable across engines).
+    * Inherently sequential by construction (a seeded sample over a defined
+    * stream order IS a sequential spec); for scale-out sampling use
+    * [[reservoirSample]].
+    */
+  def reservoirSampleDeterministic(ids: DataFrame, k: Int, seed: Long): Array[Long] = {
+    if (k <= 0) return Array.empty
+    import ids.sparkSession.implicits._
+    val c = ids.columns.head
+    ids.select(col(c).cast("long").as(c)).as[Long]
+      .repartition(1).sortWithinPartitions(col(c))
+      .mapPartitions { rows =>
+        var s = ((seed % 2147483646L) + 2147483646L) % 2147483646L + 1
+        val res = new scala.collection.mutable.ArrayBuffer[Long](k)
+        var i = 0L
+        rows.foreach { d =>
+          i += 1
+          if (res.length < k) res += d
+          else {
+            s = (s * 48271L) % 2147483647L
+            val j = s % i
+            if (j < k) res(j.toInt) = d
+          }
+        }
+        if (i == 0) Iterator.empty else Iterator.single(res.toArray)
+      }
+      .collect().headOption.getOrElse(Array.empty[Long])
+  }
+
   /** k uniformly-random matching docs: per-partition Algorithm L
     * (`reservoir_sampling_collector.rs:127-160`) + the reference's weighted
     * cross-partition merge preserving uniformity (`:51-108`). O(k) memory per
