@@ -441,15 +441,50 @@ object IndexBuilder {
     }(Encoders.row(packSchema))
   }
 
+  /** Growable primitive int buffer — `ArrayBuffer[Int]` boxes every append,
+    * and the pack phase appends 2 ints per posting; at 10^12 postings the
+    * box garbage is pure memory-bandwidth tax on the widest phase (the
+    * measured cause of the 8c scaling loss).
+    */
+  private final class IntBuf(initial: Int) {
+    private var a = new Array[Int](initial)
+    private var n = 0
+    def +=(v: Int): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+      a(n) = v; n += 1
+    }
+    def toArray: Array[Int] = java.util.Arrays.copyOf(a, n)
+  }
+
+  /** Growable primitive byte buffer with bulk append (replaces both the
+    * boxed `ArrayBuffer[Byte]` norms and the chunk-list position buffer —
+    * position slices copy straight in, no per-posting chunk array).
+    */
+  private final class ByteBuf(initial: Int) {
+    private var a = new Array[Byte](initial)
+    private var n = 0
+    def +=(v: Byte): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+      a(n) = v; n += 1
+    }
+    def append(src: Array[Byte], from: Int, until: Int): Unit = {
+      val len = until - from
+      if (len > 0) {
+        while (n + len > a.length) a = java.util.Arrays.copyOf(a, a.length * 2)
+        System.arraycopy(src, from, a, n, len); n += len
+      }
+    }
+    def toArray: Array[Byte] = java.util.Arrays.copyOf(a, n)
+  }
+
   /** One in-progress posting fragment: the postings of one (field, term)
     * within the current (segment, block) of one input partition.
     */
-  private final class Frag {
-    val docIds = new scala.collection.mutable.ArrayBuffer[Int](8)
-    val tfs = new scala.collection.mutable.ArrayBuffer[Int](8)
-    val norms = new scala.collection.mutable.ArrayBuffer[Byte](8)
-    var posChunks: scala.collection.mutable.ArrayBuffer[Array[Byte]] = null
-    var posLen = 0
+  private final class Frag(withPos: Boolean) {
+    val docIds = new IntBuf(8)
+    val tfs = new IntBuf(8)
+    val norms = new ByteBuf(8)
+    val pos: ByteBuf = if (withPos) new ByteBuf(16) else null
     var maxTf = 0
     var minNorm = 255
     var sumTf = 0L
@@ -503,18 +538,11 @@ object IndexBuilder {
           val docIdsB = PostingCodec.packDocIds(docIdsA)
           val tfsB = PostingCodec.packVarInts(f.tfs.toArray)
           val normsB = f.norms.toArray
-          val posB =
-            if (f.posChunks == null) null
-            else {
-              val b = new Array[Byte](f.posLen)
-              var o = 0
-              f.posChunks.foreach { pb => System.arraycopy(pb, 0, b, o, pb.length); o += pb.length }
-              b
-            }
+          val posB = if (f.pos == null) null else f.pos.toArray
           val bytes = docIdsB.length.toLong + tfsB.length + normsB.length +
             (if (posB == null) 0 else posB.length)
           Row(fieldNames(fi), term, seg, block,
-            docIdsA.length, docIdsA.head, docIdsA.last,
+            docIdsA.length, docIdsA(0), docIdsA(docIdsA.length - 1),
             f.maxTf, f.minNorm, f.sumTf,
             docIdsB, tfsB, normsB, posB, bytes)
         }
@@ -546,20 +574,28 @@ object IndexBuilder {
               val tok = r.getAs[Row](tokIdxs(fi))
               val norm = tok.getInt(1).toByte
               val terms = tok.getSeq[String](2)
-              val tfs = tok.getSeq[Int](3)
+              // unwrap the primitive int arrays once per doc-field: indexing
+              // through the Seq[Int] interface boxes every element (the
+              // specialized ofInt.apply is reached via a boxing bridge)
+              val tfs = tok.getSeq[Int](3) match {
+                case w: scala.collection.immutable.ArraySeq.ofInt => w.unsafeArray
+                case s => s.toArray
+              }
               val posFlat = tok.getAs[Array[Byte]](4)
-              val posOff = tok.getSeq[Int](5)
+              val posOff = tok.getSeq[Int](5) match {
+                case w: scala.collection.immutable.ArraySeq.ofInt => w.unsafeArray
+                case s => s.toArray
+              }
               val withPos = withPosArr(fi)
               val m = maps(fi)
+              val nTerms = terms.length
               var gi = 0
-              while (gi < terms.length) {
+              while (gi < nTerms) {
                 val term = terms(gi)
                 val tf = tfs(gi)
                 var frag = m.get(term)
                 if (frag == null) {
-                  frag = new Frag
-                  if (withPos) frag.posChunks =
-                    new scala.collection.mutable.ArrayBuffer[Array[Byte]](8)
+                  frag = new Frag(withPos)
                   m.put(term, frag)
                 }
                 frag.docIds += doc
@@ -569,11 +605,7 @@ object IndexBuilder {
                 val ni = norm & 0xFF
                 if (ni < frag.minNorm) frag.minNorm = ni
                 frag.sumTf += tf
-                if (withPos) {
-                  val pb = java.util.Arrays.copyOfRange(posFlat, posOff(gi), posOff(gi + 1))
-                  frag.posChunks += pb
-                  frag.posLen += pb.length
-                }
+                if (withPos) frag.pos.append(posFlat, posOff(gi), posOff(gi + 1))
                 gi += 1
               }
               fi += 1
