@@ -48,6 +48,7 @@ object BenchPhase {
     // oversubscribe tasks per core so stage-tail skew doesn't idle cores —
     // the multi-executor analog of spark's 2-3 tasks-per-slot guidance
     val partsFactor = sys.env.getOrElse("GRAFT_BUILD_PARTS_FACTOR", "3").toInt
+    val blockBits = sys.env.getOrElse("GRAFT_BLOCK_BITS", "10").toInt
     // task-time accounting: executor run-time vs cpu-time split shows
     // whether extra per-core time at higher parallelism is compute
     // inflation (contention) or waiting (bandwidth/GC stalls)
@@ -85,7 +86,8 @@ object BenchPhase {
       IndexBuilder.build(
         spark, spark.read.parquet(pagesDir), IndexSchema.pages,
         s"$indexDir-r$i", s"bench-$cpus-r$i",
-        IndexBuilder.BuildConf(numSegments = 8, buildPartitions = cpus * partsFactor))
+        IndexBuilder.BuildConf(
+          numSegments = 8, blockBits = blockBits, buildPartitions = cpus * partsFactor))
       (System.nanoTime() - t0) / 1e9
     }
     // keep the LAST rep's index at the caller-visible path (queries run on it)

@@ -83,4 +83,21 @@ object PageGen {
     import spark.implicits._
     spark.range(0L, n, 1L, partitions).map(i => page(i)).toDF()
   }
+
+  /** Standalone generator CLI: `runMain graft.gen.PageGen <outDir> <nPages>`
+    * — writes the deterministic corpus once so ad-hoc experiments (engine
+    * A/B runs, profiling) can share it without re-deriving through Bench.
+    */
+  def main(args: Array[String]): Unit = {
+    val (out, n) = (args(0), args(1).toLong)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-pagegen")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    pages(spark, n, 64).write.mode("overwrite").parquet(out)
+    spark.stop()
+  }
 }
