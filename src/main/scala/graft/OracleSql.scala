@@ -76,6 +76,23 @@ object OracleSql {
          |FROM tf_t t, df_t d, stats s
          |ORDER BY doc_id""".stripMargin
 
+  /** Raw single-token-field term query — the docs-scan fast path's oracle.
+    * A `raw` field contributes exactly one token per non-null value, so
+    * tf = 1, the quantized fieldnorm length is 1 (`FieldNorm.Table` is exact
+    * below 40), avgdl = non-null values / N, and the BM25 arithmetic below
+    * mirrors `BM25.scoreCol(lit(1), encode(1), idf, avgdl)` op by op.
+    */
+  def rawTermQuery(field: String, term: String): String =
+    s"""WITH st AS (
+       |  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+       |         (SELECT count($field) FROM documents)::DOUBLE /
+       |           (SELECT count(*) FROM documents) AS avgdl),
+       |df AS (SELECT count(*)::DOUBLE AS df FROM documents WHERE $field = '$term')
+       |SELECT d.doc_id,
+       |       round(ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5)) *
+       |             (1.0 * (1.2 + 1)) / (1.0 + 1.2 * ((1 - 0.75) + 0.75 * 1.0 / s.avgdl)), 4) AS score
+       |FROM documents d, df f, st s WHERE d.$field = '$term' ORDER BY doc_id""".stripMargin
+
   def termTopK(term: String, k: Int): String =
     prologue + termScoreCte(term, "t") +
       s"\nSELECT doc_id, round(score, 4) AS score FROM sc_t ORDER BY round(score, 4) DESC, doc_id LIMIT $k"

@@ -107,6 +107,12 @@ object SparkEntry {
       val s = new Searcher(s0.reader, s0.schema, fieldnorms = false)
       DocsIndex.scored(s, TermQuery("text", "spark")).orderBy("doc_id")
     }),
+    "q_term_raw" -> ((sp, dir) => {
+      // raw single-token stored field → the docs-scan fast path (no posting
+      // IO; closed-form BM25 with tf=1, fieldnorm 1, df from termstats)
+      val s = DocsIndex.searcher(sp, dir)
+      DocsIndex.scored(s, TermQuery("lang", "en")).orderBy("doc_id")
+    }),
     "q_count" -> ((sp, dir) => {
       val s = DocsIndex.searcher(sp, dir)
       s.search(TermQuery("text", "merge")).agg(count(lit(1)).as("cnt"))
@@ -440,6 +446,7 @@ object SparkEntry {
     "q_mlt" -> OracleSql.moreLikeThis(0, minTf = 2, maxTerms = 5, k = 10),
     "q_snippets" -> OracleSql.snippets("vector", 5, 80),
     "q_term_nofieldnorms" -> OracleSql.termQueryNoFieldnorms("spark"),
+    "q_term_raw" -> OracleSql.rawTermQuery("lang", "en"),
     "q_count" -> OracleSql.termCount("merge"),
     "q_range_fast" ->
       "SELECT doc_id FROM documents WHERE n_chars >= 200 AND n_chars <= 400 ORDER BY doc_id",
