@@ -149,6 +149,15 @@ class GraftSqlSpec extends AnyFunSuite {
         .collect()
     }
     assert(multi.getMessage.contains("exactly one aggregation"))
+    // 4th arg = per-query parser-config patch, same as search/search_top:
+    // redirect the bare term onto the raw lang field and aggregate over it
+    val patched = spark.sql(
+      s"""SELECT * FROM search_agg('$indexDir', 'en',
+         |  '{"by_lang":{"terms":{"field":"lang"}}}',
+         |  '{"default_fields": ["lang"]}')""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(patched.keySet == Set("en") &&
+      patched("en") == searcher.count(MatchQuery("lang:en")))
   }
 
   test("byPath cache auto-refreshes when a commit moves the snapshot version") {
