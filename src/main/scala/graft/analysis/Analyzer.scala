@@ -69,4 +69,19 @@ object Analyzers {
 
   def apply(name: String): Analyzer =
     byName.getOrElse(name, throw new IllegalArgumentException(s"unknown analyzer: $name"))
+
+  /** Analyzers whose base is a plain word-run tokenizer, expressible through
+    * the allocation-free [[FusedTokenize]] stream (the indexing hot path).
+    * Complex bases (html/mmd/dict) and the raw analyzers are not listed —
+    * raw gets its own single-token fast path, the rest go through the legacy
+    * `tokenize` chain.
+    */
+  final case class FusedSpec(kind: Int, removeLong: Int, lower: Boolean, stop: Boolean)
+  val fusedByName: Map[String, FusedSpec] = Map(
+    "summa" -> FusedSpec(FusedTokenize.KindSumma, 100, lower = true, stop = true),
+    "summa_without_stop_words" ->
+      FusedSpec(FusedTokenize.KindSumma, 100, lower = true, stop = false),
+    "default" -> FusedSpec(FusedTokenize.KindSimple, 100, lower = true, stop = true),
+    "whitespace" -> FusedSpec(FusedTokenize.KindWhitespace, 0, lower = true, stop = false)
+  )
 }

@@ -98,6 +98,8 @@ object IndexBuilder {
     var len = 0
     private var lastPos = 0
     var tf = 0
+    /** Re-arm for reuse from the [[FusedAcc]] pool (buf capacity is kept). */
+    def reset(): Unit = { len = 0; lastPos = 0; tf = 0 }
     def addPos(p: Int): Unit = {
       var v = if (tf == 0) p else p - lastPos
       lastPos = p
@@ -170,15 +172,231 @@ object IndexBuilder {
     terms
   }
 
+  private val EmptyTokFlat = TokFlat(0, 0, Array.empty, Array.empty, Array.empty, Array(0))
+
   /** Flat-shape tokenize for the build's hot path: same grouping semantics
     * as [[analyzeField]] (term-sorted, positions in token order, byte-
     * identical packed deltas) with zero intermediate group objects.
+    *
+    * Word-run analyzers stream through the [[graft.analysis.FusedTokenize]] /
+    * [[FusedAcc]] pair (no Token objects, no filter-chain Vector copies, a
+    * generation-stamped term table reused across documents); raw analyzers
+    * take a closed-form single-token path; everything else (html/mmd/dict
+    * bases, whose tokenizers need offsets and skip ranges) falls back to the
+    * legacy chain. FusedAnalyzeSpec pins output equality across all routes.
     */
   def analyzeFieldFlat(analyzerName: String, value: String): TokFlat = {
-    if (value == null)
-      return TokFlat(0, 0, Array.empty, Array.empty, Array.empty, Array(0))
+    if (value == null) return EmptyTokFlat
+    Analyzers.fusedByName.get(analyzerName) match {
+      case Some(spec) =>
+        val acc = fusedAccFor(analyzerName, spec)
+        acc.reset()
+        graft.analysis.FusedTokenize.run(spec.kind, value, acc)
+        acc.result()
+      case None if analyzerName == "raw" || analyzerName == "raw_ci" =>
+        if (value.isEmpty) EmptyTokFlat
+        else {
+          val term = if (analyzerName == "raw_ci") value.toLowerCase else value
+          // single token at position 0: packed position delta-varint = [0x00]
+          TokFlat(1, FieldNorm.encode(1L), Array(term), Array(1), Array(0.toByte), Array(0, 1))
+        }
+      case None => analyzeFieldFlatLegacy(analyzerName, value)
+    }
+  }
+
+  /** The pre-fusion flat tokenize (materializes the `Token` vector through
+    * the full filter chain) — kept as the semantic reference for the fused
+    * path and the route for complex tokenizer bases.
+    */
+  def analyzeFieldFlatLegacy(analyzerName: String, value: String): TokFlat = {
+    if (value == null) return EmptyTokFlat
     val toks = Analyzers(analyzerName).tokenize(value)
     groupTokensFlat(toks.length, i => toks(i).text, i => toks(i).position)
+  }
+
+  // fused accumulators are stateful and reused per (thread, analyzer) — UDF
+  // lambdas run on executor task threads, so a ThreadLocal registry gives
+  // each task its own table with zero cross-doc allocation
+  private val fusedTL: ThreadLocal[java.util.HashMap[String, FusedAcc]] =
+    ThreadLocal.withInitial(() => new java.util.HashMap[String, FusedAcc]())
+
+  private def fusedAccFor(name: String, spec: Analyzers.FusedSpec): FusedAcc = {
+    val m = fusedTL.get()
+    var acc = m.get(name)
+    if (acc == null) { acc = new FusedAcc(spec); m.put(name, acc) }
+    acc
+  }
+
+  /** Streaming token accumulator: an open-addressed, generation-stamped
+    * (term → [[TermAcc]]) table fed directly by [[graft.analysis
+    * .FusedTokenize]]. Per steady-state document it allocates ONLY the
+    * output arrays and one String per first-seen distinct term — tokens
+    * repeat within and across documents, so the table, its TermAcc pool and
+    * the lowercase/stop filters all run on the reused char buffer.
+    *
+    * ASCII tokens lowercase in place (exactly `String.toLowerCase` for
+    * ASCII input under any non-Turkic default locale — guarded below);
+    * non-ASCII tokens fall back to the String-based chain, preserving
+    * locale/special-casing semantics bit-for-bit with the legacy path.
+    */
+  private final class FusedAcc(spec: Analyzers.FusedSpec) extends graft.analysis.TokenSink {
+    import graft.analysis.FusedTokenize.StopChars
+
+    private var cap = 256
+    private var mask = cap - 1
+    private var keys = new Array[String](cap)
+    private var accs = new Array[TermAcc](cap)
+    private var gens = new Array[Int](cap)
+    private var gen = 0
+    private var size = 0
+    private var survivors = 0
+
+    private var pool = new Array[TermAcc](64)
+    private var poolN = 0
+    private var poolUsed = 0
+
+    def reset(): Unit = { gen += 1; size = 0; survivors = 0; poolUsed = 0 }
+
+    private def takeAcc(): TermAcc = {
+      if (poolUsed < poolN) { val a = pool(poolUsed); poolUsed += 1; a.reset(); a }
+      else {
+        if (poolN == pool.length) pool = java.util.Arrays.copyOf(pool, poolN * 2)
+        val a = new TermAcc
+        pool(poolN) = a; poolN += 1; poolUsed += 1
+        a
+      }
+    }
+
+    @inline private def spread(h: Int): Int = h ^ (h >>> 16)
+
+    private def grow(): Unit = {
+      val oldKeys = keys; val oldAccs = accs; val oldGens = gens; val oldCap = cap
+      cap *= 2; mask = cap - 1
+      keys = new Array[String](cap); accs = new Array[TermAcc](cap); gens = new Array[Int](cap)
+      // fresh gens array is all-0; live entries must carry the CURRENT gen,
+      // which may be 0 only before any reset — bump to keep 0 meaning empty
+      if (gen == 0) gen = 1
+      var i = 0
+      while (i < oldCap) {
+        if (oldKeys(i) != null && oldGens(i) == gen) {
+          var j = spread(oldKeys(i).hashCode) & mask
+          while (keys(j) != null && gens(j) == gen) j = (j + 1) & mask
+          keys(j) = oldKeys(i); accs(j) = oldAccs(i); gens(j) = gen
+        }
+        i += 1
+      }
+    }
+
+    /** Lookup-or-insert by char slice (hash pre-computed, String.hashCode
+      * convention).
+      */
+    private def accFor(buf: Array[Char], len: Int, h: Int): TermAcc = {
+      var i = spread(h) & mask
+      while (true) {
+        val k = keys(i)
+        if (k == null || gens(i) != gen) {
+          if ((size + 1) * 10 > cap * 7) { grow(); return accFor(buf, len, h) }
+          val a = takeAcc()
+          keys(i) = new String(buf, 0, len); accs(i) = a; gens(i) = gen; size += 1
+          return a
+        }
+        if (k.length == len) {
+          var j = 0
+          while (j < len && k.charAt(j) == buf(j)) j += 1
+          if (j == len) return accs(i)
+        }
+        i = (i + 1) & mask
+      }
+      null // unreachable
+    }
+
+    private def accForStr(s: String): TermAcc = {
+      val h = s.hashCode
+      var i = spread(h) & mask
+      while (true) {
+        val k = keys(i)
+        if (k == null || gens(i) != gen) {
+          if ((size + 1) * 10 > cap * 7) { grow(); return accForStr(s) }
+          val a = takeAcc()
+          keys(i) = s; accs(i) = a; gens(i) = gen; size += 1
+          return a
+        }
+        if (k == s || (k.length == s.length && k.equals(s))) return accs(i)
+        i = (i + 1) & mask
+      }
+      null // unreachable
+    }
+
+    override def token(buf: Array[Char], len: Int, rawBytes: Int, pos: Int, ascii: Boolean): Unit = {
+      if (spec.removeLong > 0 && rawBytes >= spec.removeLong) return
+      if (ascii && FusedAcc.asciiLowerSafe) {
+        if (spec.lower) {
+          var i = 0
+          while (i < len) {
+            val c = buf(i)
+            if (c >= 'A' && c <= 'Z') buf(i) = (c + 32).toChar
+            i += 1
+          }
+        }
+        val h = StopChars.hashOf(buf, len)
+        if (spec.stop && StopChars.contains(buf, len, h)) return
+        survivors += 1
+        accFor(buf, len, h).addPos(pos)
+      } else {
+        var s = new String(buf, 0, len)
+        if (spec.lower) s = s.toLowerCase
+        if (spec.stop && graft.analysis.StopWords.All.contains(s)) return
+        survivors += 1
+        accForStr(s).addPos(pos)
+      }
+    }
+
+    /** Assemble the TokFlat (terms in natural String order — identical to
+      * [[groupTokensFlat]]).
+      */
+    def result(): TokFlat = {
+      val k = size
+      if (k == 0) return TokFlat(survivors, FieldNorm.encode(survivors.toLong),
+        Array.empty, Array.empty, Array.empty, Array(0))
+      val terms = new Array[String](k)
+      var i = 0; var t = 0
+      while (i < cap) {
+        if (keys(i) != null && gens(i) == gen) { terms(t) = keys(i); t += 1 }
+        i += 1
+      }
+      java.util.Arrays.sort(terms.asInstanceOf[Array[AnyRef]])
+      val tfs = new Array[Int](k)
+      val posOff = new Array[Int](k + 1)
+      var total = 0
+      i = 0
+      while (i < k) {
+        val acc = accForStr(terms(i)) // live hit — never inserts
+        tfs(i) = acc.tf
+        posOff(i) = total
+        total += acc.len
+        i += 1
+      }
+      posOff(k) = total
+      val posFlat = new Array[Byte](total)
+      i = 0
+      while (i < k) {
+        val acc = accForStr(terms(i))
+        System.arraycopy(acc.buf, 0, posFlat, posOff(i), acc.len)
+        i += 1
+      }
+      TokFlat(survivors, FieldNorm.encode(survivors.toLong), terms, tfs, posFlat, posOff)
+    }
+  }
+
+  private object FusedAcc {
+    /** In-place ASCII lowercasing equals `String.toLowerCase` under every
+      * default locale except Turkic ones (tr/az map dotted/dotless I
+      * specially even for ASCII input).
+      */
+    val asciiLowerSafe: Boolean = {
+      val l = java.util.Locale.getDefault.getLanguage
+      l != "tr" && l != "az"
+    }
   }
 
   private def groupTokensFlat(n: Int, text: Int => String, pos: Int => Int): TokFlat = {
