@@ -74,16 +74,48 @@ object IndexBuilder {
 
   /** The FLAT analyzed-field shape the build pipeline carries: parallel
     * primitive arrays instead of an array of [[TermGroup]] structs. Catalyst
-    * encodes this ~30% faster than the nested shape (one strings array +
-    * three primitive arrays vs per-term struct rows), and building it
-    * directly from the accumulator map allocates no intermediate TermGroup
-    * objects — allocation churn is the memory-bandwidth tax the wide build
-    * pays hardest. `posOff` has terms.length+1 entries; term i's packed
-    * delta-varint positions are `posFlat[posOff(i), posOff(i+1))`.
+    * encodes this far faster than the nested shape (flat binary/int arrays
+    * vs per-term struct rows), and building it directly from the accumulator
+    * map allocates no intermediate TermGroup objects — allocation churn is
+    * the memory-bandwidth tax the wide build pays hardest. Terms travel as
+    * ONE UTF-8 blob + offsets rather than `array<string>`: encoding an
+    * UnsafeRow string array copies and aligns every element separately (and
+    * decoding allocates a String per term per document downstream in the
+    * pack), while a blob moves with two memcpys and is consumed as raw
+    * slices. `posOff` has termCount+1 entries; term i's packed delta-varint
+    * positions are `posFlat[posOff(i), posOff(i+1))`.
     */
   final case class TokFlat(
-      len: Int, norm: Int, terms: Array[String], tfs: Array[Int],
-      posFlat: Array[Byte], posOff: Array[Int])
+      len: Int, norm: Int, termBytes: Array[Byte], termOff: Array[Int],
+      tfs: Array[Int], posFlat: Array[Byte], posOff: Array[Int]) {
+    def termCount: Int = termOff.length - 1
+    /** Decode term `i` (test/debug surface — the pipeline reads raw slices). */
+    def term(i: Int): String = new String(
+      termBytes, termOff(i), termOff(i + 1) - termOff(i),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def termsDecoded: Array[String] = Array.tabulate(termCount)(term)
+  }
+
+  /** Sorted term Strings → (UTF-8 blob, k+1 offsets). Term i's bytes are
+    * `termBytes[termOff(i), termOff(i+1))`.
+    */
+  private def termsToBlob(terms: Array[String]): (Array[Byte], Array[Int]) = {
+    val k = terms.length
+    val off = new Array[Int](k + 1)
+    val parts = new Array[Array[Byte]](k)
+    var total = 0
+    var i = 0
+    while (i < k) {
+      val b = terms(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      parts(i) = b; off(i) = total; total += b.length
+      i += 1
+    }
+    off(k) = total
+    val blob = new Array[Byte](total)
+    i = 0
+    while (i < k) { System.arraycopy(parts(i), 0, blob, off(i), parts(i).length); i += 1 }
+    (blob, off)
+  }
 
   /** Per-term accumulator for [[analyzeField]]: tf + the delta-varint
     * position bytes written INCREMENTALLY (byte-identical to
@@ -172,7 +204,8 @@ object IndexBuilder {
     terms
   }
 
-  private val EmptyTokFlat = TokFlat(0, 0, Array.empty, Array.empty, Array.empty, Array(0))
+  private val EmptyTokFlat =
+    TokFlat(0, 0, Array.empty, Array(0), Array.empty, Array.empty, Array(0))
 
   /** Flat-shape tokenize for the build's hot path: same grouping semantics
     * as [[analyzeField]] (term-sorted, positions in token order, byte-
@@ -197,8 +230,10 @@ object IndexBuilder {
         if (value.isEmpty) EmptyTokFlat
         else {
           val term = if (analyzerName == "raw_ci") value.toLowerCase else value
+          val tb = term.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           // single token at position 0: packed position delta-varint = [0x00]
-          TokFlat(1, FieldNorm.encode(1L), Array(term), Array(1), Array(0.toByte), Array(0, 1))
+          TokFlat(1, FieldNorm.encode(1L), tb, Array(0, tb.length),
+            Array(1), Array(0.toByte), Array(0, 1))
         }
       case None => analyzeFieldFlatLegacy(analyzerName, value)
     }
@@ -357,7 +392,7 @@ object IndexBuilder {
     def result(): TokFlat = {
       val k = size
       if (k == 0) return TokFlat(survivors, FieldNorm.encode(survivors.toLong),
-        Array.empty, Array.empty, Array.empty, Array(0))
+        Array.empty, Array(0), Array.empty, Array.empty, Array(0))
       val terms = new Array[String](k)
       var i = 0; var t = 0
       while (i < cap) {
@@ -384,7 +419,8 @@ object IndexBuilder {
         System.arraycopy(acc.buf, 0, posFlat, posOff(i), acc.len)
         i += 1
       }
-      TokFlat(survivors, FieldNorm.encode(survivors.toLong), terms, tfs, posFlat, posOff)
+      val (blob, termOff) = termsToBlob(terms)
+      TokFlat(survivors, FieldNorm.encode(survivors.toLong), blob, termOff, tfs, posFlat, posOff)
     }
   }
 
@@ -422,7 +458,8 @@ object IndexBuilder {
       System.arraycopy(acc.buf, 0, posFlat, posOff(i), acc.len)
       i += 1
     }
-    TokFlat(n, FieldNorm.encode(n.toLong), terms, tfs, posFlat, posOff)
+    val (blob, termOff) = termsToBlob(terms)
+    TokFlat(n, FieldNorm.encode(n.toLong), blob, termOff, tfs, posFlat, posOff)
   }
 
   /** Nested → flat conversion for the cold token paths (json / bytes / ip
@@ -449,7 +486,8 @@ object IndexBuilder {
       System.arraycopy(tf.terms(i).positions, 0, posFlat, posOff(i), tf.terms(i).positions.length)
       i += 1
     }
-    TokFlat(tf.len, tf.norm, terms, tfs, posFlat, posOff)
+    val (blob, termOff) = termsToBlob(terms)
+    TokFlat(tf.len, tf.norm, blob, termOff, tfs, posFlat, posOff)
   }
 
   /** The canonical doc-order shuffle feeding [[assignDocIds]]: range
@@ -672,6 +710,7 @@ object IndexBuilder {
       a(n) = v; n += 1
     }
     def toArray: Array[Int] = java.util.Arrays.copyOf(a, n)
+    def clear(): Unit = n = 0
   }
 
   /** Growable primitive byte buffer with bulk append (replaces both the
@@ -693,10 +732,12 @@ object IndexBuilder {
       }
     }
     def toArray: Array[Byte] = java.util.Arrays.copyOf(a, n)
+    def clear(): Unit = n = 0
   }
 
   /** One in-progress posting fragment: the postings of one (field, term)
-    * within the current (segment, block) of one input partition.
+    * within the current (segment, block) of one input partition. Pooled and
+    * reused across blocks by [[FragMap]] (buffer capacity is retained).
     */
   private final class Frag(withPos: Boolean) {
     val docIds = new IntBuf(8)
@@ -706,6 +747,102 @@ object IndexBuilder {
     var maxTf = 0
     var minNorm = 255
     var sumTf = 0L
+    def reset(): Unit = {
+      docIds.clear(); tfs.clear(); norms.clear()
+      if (pos != null) pos.clear()
+      maxTf = 0; minNorm = 255; sumTf = 0L
+    }
+  }
+
+  /** Open-addressed (term-bytes → [[Frag]]) table for the map-side pack,
+    * addressable by a slice of a document's term blob — no String (or key
+    * copy) is allocated per posting occurrence, only one copied byte-array
+    * key + one pooled Frag per distinct term per (segment, block). Cleared
+    * per block via a generation stamp (no array zeroing); Frags are pooled
+    * with retained buffer capacity, so steady-state blocks allocate almost
+    * nothing but the emitted output rows.
+    */
+  private final class FragMap(withPos: Boolean) {
+    private var cap = 512
+    private var mask = cap - 1
+    private var keys = new Array[Array[Byte]](cap)
+    private var frags = new Array[Frag](cap)
+    private var gens = new Array[Int](cap)
+    private var gen = 0
+    private var size = 0
+    private var pool = new Array[Frag](64)
+    private var poolN = 0
+    private var poolUsed = 0
+
+    def clear(): Unit = { gen += 1; size = 0; poolUsed = 0 }
+
+    @inline private def spread(h: Int): Int = h ^ (h >>> 16)
+
+    private def hashBytes(a: Array[Byte], from: Int, until: Int): Int = {
+      var h = 0
+      var i = from
+      while (i < until) { h = 31 * h + a(i); i += 1 }
+      h
+    }
+
+    private def takeFrag(): Frag = {
+      if (poolUsed < poolN) { val f = pool(poolUsed); poolUsed += 1; f.reset(); f }
+      else {
+        if (poolN == pool.length) pool = java.util.Arrays.copyOf(pool, poolN * 2)
+        val f = new Frag(withPos)
+        pool(poolN) = f; poolN += 1; poolUsed += 1
+        f
+      }
+    }
+
+    private def grow(): Unit = {
+      val oldKeys = keys; val oldFrags = frags; val oldGens = gens; val oldCap = cap
+      cap *= 2; mask = cap - 1
+      keys = new Array[Array[Byte]](cap); frags = new Array[Frag](cap); gens = new Array[Int](cap)
+      if (gen == 0) gen = 1
+      var i = 0
+      while (i < oldCap) {
+        if (oldKeys(i) != null && oldGens(i) == gen) {
+          var j = spread(hashBytes(oldKeys(i), 0, oldKeys(i).length)) & mask
+          while (keys(j) != null && gens(j) == gen) j = (j + 1) & mask
+          keys(j) = oldKeys(i); frags(j) = oldFrags(i); gens(j) = gen
+        }
+        i += 1
+      }
+    }
+
+    /** Lookup-or-insert by blob slice. */
+    def fragFor(blob: Array[Byte], from: Int, until: Int): Frag = {
+      val h = hashBytes(blob, from, until)
+      val len = until - from
+      var i = spread(h) & mask
+      while (true) {
+        val k = keys(i)
+        if (k == null || gens(i) != gen) {
+          if ((size + 1) * 10 > cap * 7) { grow(); return fragFor(blob, from, until) }
+          keys(i) = java.util.Arrays.copyOfRange(blob, from, until)
+          val f = takeFrag()
+          frags(i) = f; gens(i) = gen; size += 1
+          return f
+        }
+        if (k.length == len) {
+          var j = 0
+          while (j < len && k(j) == blob(from + j)) j += 1
+          if (j == len) return frags(i)
+        }
+        i = (i + 1) & mask
+      }
+      null // unreachable
+    }
+
+    /** Iterate live entries (order arbitrary — the fragment shuffle sorts). */
+    def forEach(f: (Array[Byte], Frag) => Unit): Unit = {
+      var i = 0
+      while (i < cap) {
+        if (keys(i) != null && gens(i) == gen) f(keys(i), frags(i))
+        i += 1
+      }
+    }
   }
 
   /** Map-side posting pack over the analyzed doc partitions (the classic
@@ -745,13 +882,12 @@ object IndexBuilder {
     val fragments = analyzed.mapPartitions { rows =>
       new Iterator[Row] {
         private val pending = new java.util.ArrayDeque[Row]()
-        private val maps =
-          Array.fill(nFields)(new java.util.HashMap[String, Frag]())
+        private val maps = withPosArr.map(new FragMap(_))
         private var curSeg = Int.MinValue
         private var curBlock = Int.MinValue
         private var finalFlushDone = false
 
-        private def emit(fi: Int, term: String, f: Frag, seg: Int, block: Int): Row = {
+        private def emit(fi: Int, term: Array[Byte], f: Frag, seg: Int, block: Int): Row = {
           val docIdsA = f.docIds.toArray
           val docIdsB = PostingCodec.packDocIds(docIdsA)
           val tfsB = PostingCodec.packVarInts(f.tfs.toArray)
@@ -759,7 +895,8 @@ object IndexBuilder {
           val posB = if (f.pos == null) null else f.pos.toArray
           val bytes = docIdsB.length.toLong + tfsB.length + normsB.length +
             (if (posB == null) 0 else posB.length)
-          Row(fieldNames(fi), term, seg, block,
+          Row(fieldNames(fi), new String(term, java.nio.charset.StandardCharsets.UTF_8),
+            seg, block,
             docIdsA.length, docIdsA(0), docIdsA(docIdsA.length - 1),
             f.maxTf, f.minNorm, f.sumTf,
             docIdsB, tfsB, normsB, posB, bytes)
@@ -791,31 +928,32 @@ object IndexBuilder {
             while (fi < nFields) {
               val tok = r.getAs[Row](tokIdxs(fi))
               val norm = tok.getInt(1).toByte
-              val terms = tok.getSeq[String](2)
+              // the term blob is consumed as raw slices — no String decode
+              // per posting occurrence anywhere in the pack
+              val termBytes = tok.getAs[Array[Byte]](2)
               // unwrap the primitive int arrays once per doc-field: indexing
               // through the Seq[Int] interface boxes every element (the
               // specialized ofInt.apply is reached via a boxing bridge)
-              val tfs = tok.getSeq[Int](3) match {
+              val termOff = tok.getSeq[Int](3) match {
                 case w: scala.collection.immutable.ArraySeq.ofInt => w.unsafeArray
                 case s => s.toArray
               }
-              val posFlat = tok.getAs[Array[Byte]](4)
-              val posOff = tok.getSeq[Int](5) match {
+              val tfs = tok.getSeq[Int](4) match {
+                case w: scala.collection.immutable.ArraySeq.ofInt => w.unsafeArray
+                case s => s.toArray
+              }
+              val posFlat = tok.getAs[Array[Byte]](5)
+              val posOff = tok.getSeq[Int](6) match {
                 case w: scala.collection.immutable.ArraySeq.ofInt => w.unsafeArray
                 case s => s.toArray
               }
               val withPos = withPosArr(fi)
               val m = maps(fi)
-              val nTerms = terms.length
+              val nTerms = termOff.length - 1
               var gi = 0
               while (gi < nTerms) {
-                val term = terms(gi)
                 val tf = tfs(gi)
-                var frag = m.get(term)
-                if (frag == null) {
-                  frag = new Frag(withPos)
-                  m.put(term, frag)
-                }
+                val frag = m.fragFor(termBytes, termOff(gi), termOff(gi + 1))
                 frag.docIds += doc
                 frag.tfs += tf
                 frag.norms += norm

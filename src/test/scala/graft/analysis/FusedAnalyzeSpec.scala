@@ -40,7 +40,8 @@ class FusedAnalyzeSpec extends AnyFunSuite {
     val ctx = s"analyzer=$name input=${input.take(60)}"
     assert(a.len == b.len, s"len $ctx")
     assert(a.norm == b.norm, s"norm $ctx")
-    assert(a.terms.toSeq == b.terms.toSeq, s"terms $ctx")
+    assert(a.termsDecoded.toSeq == b.termsDecoded.toSeq, s"terms $ctx")
+    assert(a.termOff.toSeq == b.termOff.toSeq, s"termOff $ctx")
     assert(a.tfs.toSeq == b.tfs.toSeq, s"tfs $ctx")
     assert(a.posFlat.toSeq == b.posFlat.toSeq, s"posFlat $ctx")
     assert(a.posOff.toSeq == b.posOff.toSeq, s"posOff $ctx")
