@@ -507,9 +507,23 @@ object IndexBuilder {
 
   /** Assign dense per-segment docIds = rank of `__key` within `segment_id`:
     * range-partition + in-partition sort, then a two-pass offset computation
-    * (pass 1 counts rows per (partition, segment); pass 2 streams ids).
-    * `df` must come from [[shardAndSort]] and is persisted as the single
-    * materialized intermediate of the build.
+    * (pass 1 counts rows per (partition, segment); pass 2 is PURE
+    * EXPRESSIONS). `df` must come from [[shardAndSort]] and is persisted as
+    * the single materialized intermediate of the build.
+    *
+    * Pass 2 stays declarative on purpose: `monotonically_increasing_id()`
+    * exposes each row's in-partition sequence number (low 33 bits), and a
+    * broadcast-joined per-(partition, segment) delta rebases it to the
+    * global rank — `doc_id = seq + (globalStart − localStart)`. Segments are
+    * contiguous within a partition (the sort is `(segment_id, __key)`), so
+    * both starts come from the pass-1 counts. An earlier mapPartitions
+    * implementation computed the same ids imperatively but acted as a
+    * column-pruning barrier: every downstream consumer (the narrow docs
+    * write, the pack) paid a full external-Row decode + rebuild of the whole
+    * cached row. As expressions, Catalyst prunes the cache scan per consumer
+    * and the id math is whole-stage codegen'd. The 33-bit sequence bounds a
+    * build partition at 8.6 B rows — orders of magnitude above the partition
+    * sizes any sane `buildPartitions` yields at 100 TB.
     *
     * `extraAggs` piggy-back on the pass-1 aggregation (e.g. per-segment
     * token totals): the cache-materializing scan is already paying for the
@@ -558,7 +572,8 @@ object IndexBuilder {
           seg -> Row.fromSeq(sums.toSeq)
         }
 
-    // start offset of each (pid, segment): sum of counts in earlier pids
+    // global start of each (pid, segment): sum of the segment's counts in
+    // earlier pids
     val bySeg = counts.groupBy(_._1._2)
     val offsets: Map[(Int, Int), Long] = bySeg.flatMap { case (seg, cs) =>
       var acc = 0L
@@ -568,28 +583,32 @@ object IndexBuilder {
         r
       }
     }
-    val bc = spark.sparkContext.broadcast(offsets)
-
-    val pidIdx = sorted.schema.fieldIndex("__pid")
-    val segIdx = sorted.schema.fieldIndex("segment_id")
-    val outFields = sorted.schema.fields.filterNot(_.name == "__pid") :+
-      StructField("doc_id", IntegerType, nullable = false)
-    val enc = Encoders.row(StructType(outFields))
-    val withIds = sorted.mapPartitions { rows =>
-      val off = bc.value
-      var curSeg = Int.MinValue
-      var curPid = Int.MinValue
-      var next = 0L
-      rows.map { r =>
-        val seg = r.getInt(segIdx)
-        val pid = r.getInt(pidIdx)
-        if (seg != curSeg || pid != curPid) { curSeg = seg; curPid = pid; next = off((pid, seg)) }
-        val id = next
-        next += 1
-        val vals = r.toSeq.zipWithIndex.collect { case (v, i) if i != pidIdx => v }
-        Row.fromSeq(vals :+ id.toInt)
+    // local start of each (pid, segment): rows of lower-numbered segments in
+    // the same partition (segments are contiguous in segment_id order within
+    // a sorted partition)
+    val byPid = counts.groupBy(_._1._1)
+    val localStarts: Map[(Int, Int), Long] = byPid.flatMap { case (pid, cs) =>
+      var acc = 0L
+      cs.sortBy(_._1._2).map { case ((_, seg), n) =>
+        val r = ((pid, seg), acc)
+        acc += n
+        r
       }
-    }(enc)
+    }
+    val deltas = offsets.toSeq.map { case ((pid, seg), gStart) =>
+      (pid, seg, gStart - localStarts((pid, seg)))
+    }
+    import spark.implicits._
+    val deltaDf = deltas.toDF("__pid", "segment_id", "__delta")
+
+    // restore the caller's column order (a using-columns join fronts the
+    // keys): contract stays "input columns minus __pid, doc_id appended"
+    val outCols = df.columns.map(col).toSeq :+ col("doc_id")
+    val withIds = sorted
+      .withColumn("__seq", monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+      .join(broadcast(deltaDf), Seq("__pid", "segment_id"))
+      .withColumn("doc_id", (col("__seq") + col("__delta")).cast(IntegerType))
+      .select(outCols: _*)
     (withIds, sorted, counts.map(_._2).sum, segAggRows)
   }
 
@@ -1155,13 +1174,24 @@ object IndexBuilder {
       Seq(col("segment_id"), col("__key")) ++
         schema.storedFields.map(col) ++
         schema.fields.map(f => tokCols(f.name).as(s"__tok_${f.name}"))
-    val sortedTok = shardAndSort(keyed, parts, keepCols)
+    // len/norm are ALSO lifted to top-level int columns in a SECOND select:
+    // the columnar cache stores a struct column as one opaque blob per row,
+    // so any later read of just `__tok_f.len` (the docs write, the pass-1
+    // token totals) would decode every term blob in the cache. Top-level
+    // scalar copies make those reads prunable narrow column scans. The
+    // separate select matters — CollapseProject refuses to merge it into the
+    // projection below because that would duplicate the (expensive) tokenize
+    // UDF per extracted field, so the UDF still runs exactly once per row.
+    val lifted = schema.fields.flatMap(f => Seq(
+      col(s"__tok_${f.name}.len").as(s"__len_${f.name}"),
+      col(s"__tok_${f.name}.norm").as(s"__norm_${f.name}")))
+    val sortedTok = shardAndSort(keyed, parts, keepCols).select(col("*") +: lifted: _*)
 
     // per-segment token totals piggy-back on the pass-1 docId aggregation —
     // the cache-materializing scan pays for the group-by anyway, so neither
     // a separate stats job nor per-row CollectMetrics during the docs write
     // is needed (both showed up as the worst-scaling serial tail)
-    val lenAggs = schema.fields.map(f => sum(col(s"__tok_${f.name}.len")).as(s"tt_${f.name}"))
+    val lenAggs = schema.fields.map(f => sum(col(s"__len_${f.name}")).as(s"tt_${f.name}"))
     val (analyzed, sortedHandle, totalDocs, segAggs) =
       timed("tokenize+sort+docids")(assignDocIds(sortedTok, parts, conf.persist, lenAggs))
     val segStats: Seq[SegStat] = segAggs.toSeq.sortBy(_._1).map { case (seg, r) =>
@@ -1178,8 +1208,8 @@ object IndexBuilder {
         schema.storedFields.map(col) ++
         schema.fields.flatMap(f =>
           Seq(
-            col(s"__tok_${f.name}.len").as(s"len_${f.name}"),
-            col(s"__tok_${f.name}.norm").as(s"norm_${f.name}")))): _*
+            col(s"__len_${f.name}").as(s"len_${f.name}"),
+            col(s"__norm_${f.name}").as(s"norm_${f.name}")))): _*
     )
     // the docs write and the posting pack both read the (already
     // materialized) cache and write disjoint outputs — run them as
