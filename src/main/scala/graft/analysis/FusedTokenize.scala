@@ -33,26 +33,34 @@ object FusedTokenize {
   final val KindSimple = 1
   final val KindWhitespace = 2
 
+  /** Mutable cursor state for one [[run]] pass — a nested `def flush()`
+    * capturing local `var`s compiles to Ref-box indirection per token (it
+    * showed up as a top JFR leaf); plain fields on a throwaway object don't.
+    */
+  private final class Cursor {
+    var buf = new Array[Char](64)
+    var blen = 0
+    var bbytes = 0
+    var ascii = true
+    var pos = -1
+
+    def flush(sink: TokenSink): Unit =
+      if (blen > 0) {
+        pos += 1
+        sink.token(buf, blen, bbytes, pos, ascii)
+        blen = 0; bbytes = 0; ascii = true
+      }
+  }
+
   /** Tokenize `text`, pushing each token into `sink`. Semantics per kind:
     * maximal runs of the kind's token-character class; KindSumma additionally
     * emits every CJK ideograph as its own single-char token (reference
     * `tokenizer.rs:70-127`).
     */
   def run(kind: Int, text: String, sink: TokenSink): Unit = {
-    var buf = new Array[Char](64)
-    var blen = 0
-    var bbytes = 0
-    var ascii = true
-    var pos = -1
+    val c = new Cursor
     var ci = 0
     val n = text.length
-
-    def flush(): Unit =
-      if (blen > 0) {
-        pos += 1
-        sink.token(buf, blen, bbytes, pos, ascii)
-        blen = 0; bbytes = 0; ascii = true
-      }
 
     while (ci < n) {
       val cp = text.codePointAt(ci)
@@ -68,26 +76,26 @@ object FusedTokenize {
         case _ => !Character.isWhitespace(cp)
       }
       if (kind == KindSumma && SummaTokenizer.isCjk(cp)) {
-        flush()
-        pos += 1
+        c.flush(sink)
+        c.pos += 1
         val cc = Character.charCount(cp)
-        if (cc == 1) buf(0) = cp.toChar
-        else { buf(0) = Character.highSurrogate(cp); buf(1) = Character.lowSurrogate(cp) }
-        sink.token(buf, cc, bw, pos, ascii = false)
+        if (cc == 1) c.buf(0) = cp.toChar
+        else { c.buf(0) = Character.highSurrogate(cp); c.buf(1) = Character.lowSurrogate(cp) }
+        sink.token(c.buf, cc, bw, c.pos, ascii = false)
       } else if (isTok) {
-        if (blen + 2 > buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
-        if (cp < 0x10000) { buf(blen) = cp.toChar; blen += 1 }
+        if (c.blen + 2 > c.buf.length) c.buf = java.util.Arrays.copyOf(c.buf, c.buf.length * 2)
+        if (cp < 0x10000) { c.buf(c.blen) = cp.toChar; c.blen += 1 }
         else {
-          buf(blen) = Character.highSurrogate(cp)
-          buf(blen + 1) = Character.lowSurrogate(cp)
-          blen += 2
+          c.buf(c.blen) = Character.highSurrogate(cp)
+          c.buf(c.blen + 1) = Character.lowSurrogate(cp)
+          c.blen += 2
         }
-        bbytes += bw
-        if (cp >= 0x80) ascii = false
-      } else flush()
+        c.bbytes += bw
+        if (cp >= 0x80) c.ascii = false
+      } else c.flush(sink)
       ci += Character.charCount(cp)
     }
-    flush()
+    c.flush(sink)
   }
 
   /** Stop-list membership probe addressable by a raw char buffer — a

@@ -402,10 +402,12 @@ object IndexBuilder {
       java.util.Arrays.sort(terms.asInstanceOf[Array[AnyRef]])
       val tfs = new Array[Int](k)
       val posOff = new Array[Int](k + 1)
+      val sortedAccs = new Array[TermAcc](k)
       var total = 0
       i = 0
       while (i < k) {
         val acc = accForStr(terms(i)) // live hit — never inserts
+        sortedAccs(i) = acc
         tfs(i) = acc.tf
         posOff(i) = total
         total += acc.len
@@ -415,7 +417,7 @@ object IndexBuilder {
       val posFlat = new Array[Byte](total)
       i = 0
       while (i < k) {
-        val acc = accForStr(terms(i))
+        val acc = sortedAccs(i)
         System.arraycopy(acc.buf, 0, posFlat, posOff(i), acc.len)
         i += 1
       }
@@ -747,7 +749,16 @@ object IndexBuilder {
       val len = until - from
       if (len > 0) {
         while (n + len > a.length) a = java.util.Arrays.copyOf(a, a.length * 2)
-        System.arraycopy(src, from, a, n, len); n += len
+        // the pack appends one ~1-3 byte position run PER POSTING — the
+        // JNI arraycopy call overhead dominates at those sizes (JFR leaf
+        // #1 of the whole build), so short runs copy inline
+        if (len <= 4) {
+          var i = from; var j = n
+          while (i < until) { a(j) = src(i); i += 1; j += 1 }
+          n += len
+        } else {
+          System.arraycopy(src, from, a, n, len); n += len
+        }
       }
     }
     def toArray: Array[Byte] = java.util.Arrays.copyOf(a, n)
@@ -1247,6 +1258,15 @@ object IndexBuilder {
           .mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .option(zstdLevel, "1")
+          // the packed posting payloads are unique-per-row binaries: the
+          // dictionary writer hashes every value only to overflow and fall
+          // back to plain anyway (its rehash was a top-10 JFR leaf of the
+          // build) — turn it off for the payload columns, keep it for the
+          // low-cardinality field/term columns
+          .option("parquet.enable.dictionary#doc_ids", "false")
+          .option("parquet.enable.dictionary#tfs", "false")
+          .option("parquet.enable.dictionary#norms", "false")
+          .option("parquet.enable.dictionary#positions", "false")
           .partitionBy("segment_id")
           .parquet(s"$indexDir/postings"))
     } catch { case t: Throwable => primary = t; throw t }
