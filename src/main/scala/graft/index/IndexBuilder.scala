@@ -1057,7 +1057,7 @@ object IndexBuilder {
       val p = r.getAs[Array[Byte]](13)
       if (p != null) posLen += p.length
     }
-    val doc = new scala.collection.mutable.ArrayBuffer[Byte](docLen + run.size * 5)
+    val doc = new PostingCodec.ByteVec(docLen + run.size * 5)
     val tfs = new Array[Byte](tfLen)
     val norms = new Array[Byte](normLen)
     val pos = if (run.head.get(13) == null) null else new Array[Byte](posLen)
@@ -1071,15 +1071,14 @@ object IndexBuilder {
     var sumTf = 0L
     run.foreach { r =>
       val db = r.getAs[Array[Byte]](10)
-      if (prevLast < 0) db.foreach(doc += _)
+      if (prevLast < 0) doc.append(db, 0, db.length)
       else {
         // skip the absolute first-doc varint, re-encode as delta
         var p = 0
         while ((db(p) & 0x80) != 0) p += 1
         p += 1
-        PostingCodec.writeVarInt(doc, r.getInt(5) - prevLast)
-        var i = p
-        while (i < db.length) { doc += db(i); i += 1 }
+        doc.addVarInt(r.getInt(5) - prevLast)
+        doc.append(db, p, db.length)
       }
       prevLast = r.getInt(6)
       val tb = r.getAs[Array[Byte]](11)

@@ -30,6 +30,33 @@ object PostingCodec {
     buf += v.toByte
   }
 
+  /** Growable primitive byte writer for the pack hot paths —
+    * `ArrayBuffer[Byte]` is unspecialized (it boxes every appended byte into
+    * an object array), and the packers append one byte per varint byte of
+    * every posting.
+    */
+  final class ByteVec(initial: Int) {
+    private var a = new Array[Byte](math.max(initial, 8))
+    private var n = 0
+    def add(b: Byte): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+      a(n) = b; n += 1
+    }
+    def addVarInt(v0: Int): Unit = {
+      var v = v0
+      while ((v & ~0x7F) != 0) { add(((v & 0x7F) | 0x80).toByte); v >>>= 7 }
+      add(v.toByte)
+    }
+    def append(src: Array[Byte], from: Int, until: Int): Unit = {
+      val len = until - from
+      if (len > 0) {
+        while (n + len > a.length) a = java.util.Arrays.copyOf(a, a.length * 2)
+        System.arraycopy(src, from, a, n, len); n += len
+      }
+    }
+    def toArray: Array[Byte] = java.util.Arrays.copyOf(a, n)
+  }
+
   final class Reader(bytes: Array[Byte]) {
     private var p = 0
     def hasNext: Boolean = p < bytes.length
@@ -51,31 +78,33 @@ object PostingCodec {
   final case class Posting(docId: Int, tf: Int, normId: Int, positions: Array[Int])
 
   def packDocIds(sortedDocIds: Array[Int]): Array[Byte] = {
-    val buf = new ArrayBuffer[Byte](sortedDocIds.length * 2)
+    val buf = new ByteVec(sortedDocIds.length * 2)
     var prev = 0
-    var first = true
-    sortedDocIds.foreach { d =>
-      writeVarInt(buf, if (first) d else d - prev)
+    var i = 0
+    while (i < sortedDocIds.length) {
+      val d = sortedDocIds(i)
+      buf.addVarInt(if (i == 0) d else d - prev)
       prev = d
-      first = false
+      i += 1
     }
     buf.toArray
   }
 
   def packVarInts(vs: Array[Int]): Array[Byte] = {
-    val buf = new ArrayBuffer[Byte](vs.length * 2)
-    vs.foreach(writeVarInt(buf, _))
+    val buf = new ByteVec(vs.length * 2)
+    var i = 0
+    while (i < vs.length) { buf.addVarInt(vs(i)); i += 1 }
     buf.toArray
   }
 
   /** positions per doc, deltas within each doc's list. */
   def packPositions(positionsPerDoc: Array[Array[Int]]): Array[Byte] = {
-    val buf = new ArrayBuffer[Byte]()
+    val buf = new ByteVec(16)
     positionsPerDoc.foreach { ps =>
       var prev = 0
       var first = true
       ps.foreach { p =>
-        writeVarInt(buf, if (first) p else p - prev)
+        buf.addVarInt(if (first) p else p - prev)
         prev = p
         first = false
       }
@@ -92,15 +121,13 @@ object PostingCodec {
     * array — the dominant memory-bandwidth term of the build shuffle.
     */
   def packDocPositions(ps: Array[Int]): Array[Byte] = {
-    val buf = new ArrayBuffer[Byte](ps.length + 1)
+    val buf = new ByteVec(ps.length + 1)
     var prev = 0
-    var first = true
     var i = 0
     while (i < ps.length) {
       val p = ps(i)
-      writeVarInt(buf, if (first) p else p - prev)
+      buf.addVarInt(if (i == 0) p else p - prev)
       prev = p
-      first = false
       i += 1
     }
     buf.toArray
