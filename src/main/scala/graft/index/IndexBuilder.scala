@@ -386,38 +386,43 @@ object IndexBuilder {
       }
     }
 
-    /** Assemble the TokFlat (terms in natural String order — identical to
-      * [[groupTokensFlat]]).
+    /** Assemble the TokFlat in hash-table scan order — deliberately NOT
+      * term-sorted. Per-doc term order is free here: the pack phase keys a
+      * hash [[FragMap]] by term slice (doc-arrival order fixes each frag's
+      * posting content) and the posting table is globally re-sorted on its
+      * unique (segment, field, term, block, first_doc) key afterward, so the
+      * final index bytes are identical either way; termstats/fieldstats are
+      * order-free aggregates. Skipping the per-doc `Arrays.sort` +
+      * sorted-order re-probe was a measured ~6% of build task cpu.
+      * FusedAnalyzeSpec pins semantic equality with the (sorted) legacy
+      * chain via canonicalized compare.
       */
     def result(): TokFlat = {
       val k = size
       if (k == 0) return TokFlat(survivors, FieldNorm.encode(survivors.toLong),
         Array.empty, Array(0), Array.empty, Array.empty, Array(0))
       val terms = new Array[String](k)
-      var i = 0; var t = 0
-      while (i < cap) {
-        if (keys(i) != null && gens(i) == gen) { terms(t) = keys(i); t += 1 }
-        i += 1
-      }
-      java.util.Arrays.sort(terms.asInstanceOf[Array[AnyRef]])
       val tfs = new Array[Int](k)
       val posOff = new Array[Int](k + 1)
-      val sortedAccs = new Array[TermAcc](k)
-      var total = 0
-      i = 0
-      while (i < k) {
-        val acc = accForStr(terms(i)) // live hit — never inserts
-        sortedAccs(i) = acc
-        tfs(i) = acc.tf
-        posOff(i) = total
-        total += acc.len
+      val emitAccs = new Array[TermAcc](k)
+      var i = 0; var t = 0; var total = 0
+      while (i < cap) {
+        if (keys(i) != null && gens(i) == gen) {
+          val acc = accs(i)
+          terms(t) = keys(i)
+          emitAccs(t) = acc
+          tfs(t) = acc.tf
+          posOff(t) = total
+          total += acc.len
+          t += 1
+        }
         i += 1
       }
       posOff(k) = total
       val posFlat = new Array[Byte](total)
       i = 0
       while (i < k) {
-        val acc = sortedAccs(i)
+        val acc = emitAccs(i)
         System.arraycopy(acc.buf, 0, posFlat, posOff(i), acc.len)
         i += 1
       }
