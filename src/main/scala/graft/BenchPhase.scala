@@ -35,6 +35,11 @@ object BenchPhase {
       // put the workdir there) — host-disk I/O noise otherwise dominates
       // single-build variance
       .config("spark.local.dir", s"$indexDir-scratch")
+      // the build cache's string columns (doc keys, stored text) are
+      // near-distinct: the columnar dictionary encoder gathers stats on
+      // every value only to reject the scheme — skip compression for the
+      // build session (memory is the cheap resource during a build)
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -23,7 +23,11 @@ object BuildIndex {
     val indexDir = args(1)
     val numSegments = if (args.length > 2) args(2).toInt else 64
     val waves = if (args.length > 3) args(3).toInt else 1
-    val spark = SparkSession.builder().appName("graft-build-index").getOrCreate()
+    val spark = SparkSession.builder().appName("graft-build-index")
+      // build caches hold near-distinct strings (doc keys, stored text) —
+      // the columnar dictionary encoder's stat pass never pays off here
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+      .getOrCreate()
     val pages = spark.read.parquet(pagesDir)
     val buildId = s"build-${java.util.UUID.randomUUID()}"
     val segs =

@@ -72,28 +72,74 @@ object IndexBuilder {
     */
   final case class PreToken(position: Int, text: String)
 
-  /** The FLAT analyzed-field shape the build pipeline carries: parallel
-    * primitive arrays instead of an array of [[TermGroup]] structs. Catalyst
-    * encodes this far faster than the nested shape (flat binary/int arrays
-    * vs per-term struct rows), and building it directly from the accumulator
-    * map allocates no intermediate TermGroup objects — allocation churn is
-    * the memory-bandwidth tax the wide build pays hardest. Terms travel as
-    * ONE UTF-8 blob + offsets rather than `array<string>`: encoding an
-    * UnsafeRow string array copies and aligns every element separately (and
-    * decoding allocates a String per term per document downstream in the
-    * pack), while a blob moves with two memcpys and is consumed as raw
-    * slices. `posOff` has termCount+1 entries; term i's packed delta-varint
+  /** The FLAT analyzed-field shape the build pipeline carries: primitive
+    * byte blobs instead of an array of [[TermGroup]] structs. Catalyst
+    * encodes this far faster than the nested shape, and building it directly
+    * from the accumulator map allocates no intermediate TermGroup objects —
+    * allocation churn is the memory-bandwidth tax the wide build pays
+    * hardest. Terms travel as ONE UTF-8 blob + offsets rather than
+    * `array<string>`, and ALL int arrays (term offsets, tfs, position
+    * offsets) travel packed inside one little-endian `meta` blob rather than
+    * `array<int>` columns: an `array<int>` crosses the external-Row boundary
+    * of the pack's mapPartitions through a boxed MapObjects loop (a measured
+    * ~27% of the pack's fill cpu in JFR), while a binary column is a single
+    * memcpy each way and is consumed by absolute-offset int reads.
+    *
+    * `meta` layout (4-byte LE ints): `[k][termOff 0..k][tf 0..k-1]
+    * [posOff 0..k]`. Term i's UTF-8 bytes are
+    * `termBytes[termOff(i), termOff(i+1))`; its packed delta-varint
     * positions are `posFlat[posOff(i), posOff(i+1))`.
     */
   final case class TokFlat(
-      len: Int, norm: Int, termBytes: Array[Byte], termOff: Array[Int],
-      tfs: Array[Int], posFlat: Array[Byte], posOff: Array[Int]) {
-    def termCount: Int = termOff.length - 1
+      len: Int, norm: Int, meta: Array[Byte], termBytes: Array[Byte],
+      posFlat: Array[Byte]) {
+    import IndexBuilder.{metaInt => mi}
+    def termCount: Int = mi(meta, 0)
+    def termOff(i: Int): Int = mi(meta, 4 * (1 + i))
+    def tf(i: Int): Int = mi(meta, 4 * (2 + termCount + i))
+    def posOff(i: Int): Int = mi(meta, 4 * (2 + 2 * termCount + i))
     /** Decode term `i` (test/debug surface — the pipeline reads raw slices). */
     def term(i: Int): String = new String(
       termBytes, termOff(i), termOff(i + 1) - termOff(i),
       java.nio.charset.StandardCharsets.UTF_8)
     def termsDecoded: Array[String] = Array.tabulate(termCount)(term)
+    def posSlice(i: Int): Array[Byte] =
+      java.util.Arrays.copyOfRange(posFlat, posOff(i), posOff(i + 1))
+  }
+
+  /** Read a little-endian int at byte offset `off`. */
+  @inline def metaInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+
+  @inline private def putMetaInt(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = v.toByte
+    b(off + 1) = (v >>> 8).toByte
+    b(off + 2) = (v >>> 16).toByte
+    b(off + 3) = (v >>> 24).toByte
+  }
+
+  /** Pack (termOff, tfs, posOff) into the [[TokFlat]] meta blob. */
+  private def packMeta(k: Int, termOff: Array[Int], tfs: Array[Int],
+      posOff: Array[Int]): Array[Byte] = {
+    val b = new Array[Byte](4 * (3 * k + 3))
+    putMetaInt(b, 0, k)
+    var i = 0
+    while (i <= k) { putMetaInt(b, 4 * (1 + i), termOff(i)); i += 1 }
+    i = 0
+    while (i < k) { putMetaInt(b, 4 * (2 + k + i), tfs(i)); i += 1 }
+    i = 0
+    while (i <= k) { putMetaInt(b, 4 * (2 + 2 * k + i), posOff(i)); i += 1 }
+    b
+  }
+
+  /** Assemble a [[TokFlat]] from decoded terms + parallel arrays (the
+    * shared tail of every producer path).
+    */
+  private def mkTokFlat(len: Int, norm: Int, terms: Array[String],
+      tfs: Array[Int], posFlat: Array[Byte], posOff: Array[Int]): TokFlat = {
+    val (blob, termOff) = termsToBlob(terms)
+    TokFlat(len, norm, packMeta(terms.length, termOff, tfs, posOff), blob, posFlat)
   }
 
   /** Sorted term Strings → (UTF-8 blob, k+1 offsets). Term i's bytes are
@@ -205,7 +251,7 @@ object IndexBuilder {
   }
 
   private val EmptyTokFlat =
-    TokFlat(0, 0, Array.empty, Array(0), Array.empty, Array.empty, Array(0))
+    TokFlat(0, 0, packMeta(0, Array(0), Array.empty, Array(0)), Array.empty, Array.empty)
 
   /** Flat-shape tokenize for the build's hot path: same grouping semantics
     * as [[analyzeField]] (term-sorted, positions in token order, byte-
@@ -232,8 +278,9 @@ object IndexBuilder {
           val term = if (analyzerName == "raw_ci") value.toLowerCase else value
           val tb = term.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           // single token at position 0: packed position delta-varint = [0x00]
-          TokFlat(1, FieldNorm.encode(1L), tb, Array(0, tb.length),
-            Array(1), Array(0.toByte), Array(0, 1))
+          TokFlat(1, FieldNorm.encode(1L),
+            packMeta(1, Array(0, tb.length), Array(1), Array(0, 1)),
+            tb, Array(0.toByte))
         }
       case None => analyzeFieldFlatLegacy(analyzerName, value)
     }
@@ -400,7 +447,7 @@ object IndexBuilder {
     def result(): TokFlat = {
       val k = size
       if (k == 0) return TokFlat(survivors, FieldNorm.encode(survivors.toLong),
-        Array.empty, Array(0), Array.empty, Array.empty, Array(0))
+        packMeta(0, Array(0), Array.empty, Array(0)), Array.empty, Array.empty)
       val terms = new Array[String](k)
       val tfs = new Array[Int](k)
       val posOff = new Array[Int](k + 1)
@@ -426,8 +473,7 @@ object IndexBuilder {
         System.arraycopy(acc.buf, 0, posFlat, posOff(i), acc.len)
         i += 1
       }
-      val (blob, termOff) = termsToBlob(terms)
-      TokFlat(survivors, FieldNorm.encode(survivors.toLong), blob, termOff, tfs, posFlat, posOff)
+      mkTokFlat(survivors, FieldNorm.encode(survivors.toLong), terms, tfs, posFlat, posOff)
     }
   }
 
@@ -465,8 +511,7 @@ object IndexBuilder {
       System.arraycopy(acc.buf, 0, posFlat, posOff(i), acc.len)
       i += 1
     }
-    val (blob, termOff) = termsToBlob(terms)
-    TokFlat(n, FieldNorm.encode(n.toLong), blob, termOff, tfs, posFlat, posOff)
+    mkTokFlat(n, FieldNorm.encode(n.toLong), terms, tfs, posFlat, posOff)
   }
 
   /** Nested → flat conversion for the cold token paths (json / bytes / ip
@@ -493,8 +538,7 @@ object IndexBuilder {
       System.arraycopy(tf.terms(i).positions, 0, posFlat, posOff(i), tf.terms(i).positions.length)
       i += 1
     }
-    val (blob, termOff) = termsToBlob(terms)
-    TokFlat(tf.len, tf.norm, blob, termOff, tfs, posFlat, posOff)
+    mkTokFlat(tf.len, tf.norm, terms, tfs, posFlat, posOff)
   }
 
   /** The canonical doc-order shuffle feeding [[assignDocIds]]: range
@@ -963,32 +1007,28 @@ object IndexBuilder {
             while (fi < nFields) {
               val tok = r.getAs[Row](tokIdxs(fi))
               val norm = tok.getInt(1).toByte
-              // the term blob is consumed as raw slices — no String decode
-              // per posting occurrence anywhere in the pack
-              val termBytes = tok.getAs[Array[Byte]](2)
-              // unwrap the primitive int arrays once per doc-field: indexing
-              // through the Seq[Int] interface boxes every element (the
-              // specialized ofInt.apply is reached via a boxing bridge)
-              val termOff = tok.getSeq[Int](3) match {
-                case w: scala.collection.immutable.ArraySeq.ofInt => w.unsafeArray
-                case s => s.toArray
-              }
-              val tfs = tok.getSeq[Int](4) match {
-                case w: scala.collection.immutable.ArraySeq.ofInt => w.unsafeArray
-                case s => s.toArray
-              }
-              val posFlat = tok.getAs[Array[Byte]](5)
-              val posOff = tok.getSeq[Int](6) match {
-                case w: scala.collection.immutable.ArraySeq.ofInt => w.unsafeArray
-                case s => s.toArray
-              }
+              // everything crosses the Row boundary as binary (one memcpy
+              // per blob): the term blob and position runs are consumed as
+              // raw slices, and the int arrays (term offsets / tfs /
+              // position offsets) are read straight out of the packed meta
+              // blob — no boxed MapObjects loop, no String decode per
+              // posting occurrence anywhere in the pack
+              val meta = tok.getAs[Array[Byte]](2)
+              val termBytes = tok.getAs[Array[Byte]](3)
+              val posFlat = tok.getAs[Array[Byte]](4)
               val withPos = withPosArr(fi)
               val m = maps(fi)
-              val nTerms = termOff.length - 1
+              val nTerms = metaInt(meta, 0)
+              val tfsB = 4 * (2 + nTerms)
+              val posOffB = 4 * (2 + 2 * nTerms)
               var gi = 0
+              var termFrom = metaInt(meta, 4)
+              var posFrom = if (withPos) metaInt(meta, posOffB) else 0
               while (gi < nTerms) {
-                val tf = tfs(gi)
-                val frag = m.fragFor(termBytes, termOff(gi), termOff(gi + 1))
+                val tf = metaInt(meta, tfsB + 4 * gi)
+                val termUntil = metaInt(meta, 4 * (2 + gi))
+                val frag = m.fragFor(termBytes, termFrom, termUntil)
+                termFrom = termUntil
                 frag.docIds += doc
                 frag.tfs += tf
                 frag.norms += norm
@@ -996,7 +1036,11 @@ object IndexBuilder {
                 val ni = norm & 0xFF
                 if (ni < frag.minNorm) frag.minNorm = ni
                 frag.sumTf += tf
-                if (withPos) frag.pos.append(posFlat, posOff(gi), posOff(gi + 1))
+                if (withPos) {
+                  val posUntil = metaInt(meta, posOffB + 4 * (gi + 1))
+                  frag.pos.append(posFlat, posFrom, posUntil)
+                  posFrom = posUntil
+                }
                 gi += 1
               }
               fi += 1
@@ -1238,12 +1282,32 @@ object IndexBuilder {
     // default for the hot build path (callers can override the option via
     // the standard hadoop conf)
     val zstdLevel = "parquet.compression.codec.zstd.level"
+    // (near-)distinct columns make the parquet dictionary writer hash every
+    // value only to overflow its 1 MB page and fall back to plain — the
+    // dictionary writers were ~8% of build JFR samples. Disable it for:
+    // doc_id (sequential, all-distinct), the doc key, analyzed-text stored
+    // columns, and temporal/long/double stored columns (timestamps and
+    // measures are near-distinct in practice; INT96 timestamps dictionary
+    // as fixed-len byte arrays, the costliest hash). Keep it for raw fields
+    // (lang/label-like low-cardinality fast fields, where the dictionary
+    // also speeds predicate reads) and small-int len/norm columns.
+    val analyzedStored = schema.storedFields.filter(n =>
+      schema.field(n).exists(f => f.analyzer != "raw" && f.analyzer != "raw_ci"))
+    val wideStored = docsDf.schema.fields.collect {
+      case f if schema.storedFields.contains(f.name) &&
+          (f.dataType == org.apache.spark.sql.types.TimestampType ||
+            f.dataType == org.apache.spark.sql.types.LongType ||
+            f.dataType == org.apache.spark.sql.types.DoubleType) => f.name
+    }.toSeq
+    val noDictCols = ("key" +: "doc_id" +: (analyzedStored ++ wideStored)).distinct
+      .map(n => s"parquet.enable.dictionary#$n" -> "false").toMap
     val docsJob = Future {
       timed("docs-write")(docsDf
         .write
         .mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .option(zstdLevel, "1")
+        .options(noDictCols)
         .partitionBy("segment_id")
         .parquet(s"$indexDir/docs"))
     }
@@ -1271,6 +1335,13 @@ object IndexBuilder {
           .option("parquet.enable.dictionary#tfs", "false")
           .option("parquet.enable.dictionary#norms", "false")
           .option("parquet.enable.dictionary#positions", "false")
+          // near-distinct per-block scalars: same overflow-then-fallback
+          // waste as the payloads (doc_count/max_tf/min_norm stay
+          // dictionaried — they live in small value ranges)
+          .option("parquet.enable.dictionary#first_doc", "false")
+          .option("parquet.enable.dictionary#last_doc", "false")
+          .option("parquet.enable.dictionary#sum_tf", "false")
+          .option("parquet.enable.dictionary#posting_bytes", "false")
           .partitionBy("segment_id")
           .parquet(s"$indexDir/postings"))
     } catch { case t: Throwable => primary = t; throw t }

@@ -45,11 +45,11 @@ class FusedAnalyzeSpec extends AnyFunSuite {
     */
   private def canonical(tf: TokFlat, ctx: String): Seq[(String, Int, Seq[Byte])] = {
     val k = tf.termCount
-    assert(tf.termOff.head == 0 && tf.termOff.last == tf.termBytes.length, s"termOff cover $ctx")
-    assert(tf.posOff.head == 0 && tf.posOff.last == tf.posFlat.length, s"posOff cover $ctx")
-    assert(tf.tfs.length == k && tf.posOff.length == k + 1, s"arity $ctx")
+    assert(tf.meta.length == 4 * (3 * k + 3), s"meta arity $ctx")
+    assert(tf.termOff(0) == 0 && tf.termOff(k) == tf.termBytes.length, s"termOff cover $ctx")
+    assert(tf.posOff(0) == 0 && tf.posOff(k) == tf.posFlat.length, s"posOff cover $ctx")
     (0 until k).map { i =>
-      (tf.term(i), tf.tfs(i), tf.posFlat.slice(tf.posOff(i), tf.posOff(i + 1)).toSeq)
+      (tf.term(i), tf.tf(i), tf.posSlice(i).toSeq)
     }.sortBy(_._1)
   }
 
