@@ -85,51 +85,109 @@ object IndexBuilder {
     * ~27% of the pack's fill cpu in JFR), while a binary column is a single
     * memcpy each way and is consumed by absolute-offset int reads.
     *
-    * `meta` layout (4-byte LE ints): `[k][termOff 0..k][tf 0..k-1]
-    * [posOff 0..k]`. Term i's UTF-8 bytes are
-    * `termBytes[termOff(i), termOff(i+1))`; its packed delta-varint
-    * positions are `posFlat[posOff(i), posOff(i+1))`.
+    * `meta` layout (LEB128 varints — term lengths, tfs and position-run
+    * lengths are single-digit-byte values, so varints cut the blob ~4× vs
+    * fixed 4-byte ints, a direct memory-bandwidth saving on the wide
+    * phases): `[k]` then per term `[termLen][tf][posLen]`, consumed
+    * SEQUENTIALLY by the pack. Term i's UTF-8 bytes are
+    * `termBytes[termOff(i), termOff(i+1))` (offsets = prefix sums of the
+    * lengths); its packed delta-varint positions are
+    * `posFlat[posOff(i), posOff(i+1))`.
     */
   final case class TokFlat(
       len: Int, norm: Int, meta: Array[Byte], termBytes: Array[Byte],
       posFlat: Array[Byte]) {
-    import IndexBuilder.{metaInt => mi}
-    def termCount: Int = mi(meta, 0)
-    def termOff(i: Int): Int = mi(meta, 4 * (1 + i))
-    def tf(i: Int): Int = mi(meta, 4 * (2 + termCount + i))
-    def posOff(i: Int): Int = mi(meta, 4 * (2 + 2 * termCount + i))
-    /** Decode term `i` (test/debug surface — the pipeline reads raw slices). */
-    def term(i: Int): String = new String(
-      termBytes, termOff(i), termOff(i + 1) - termOff(i),
-      java.nio.charset.StandardCharsets.UTF_8)
+    /** Decode the meta stream (test/debug surface — the pipeline streams
+      * it with a reused [[IndexBuilder.MetaReader]]).
+      */
+    private def decode: (Array[Int], Array[Int], Array[Int]) = {
+      val r = new MetaReader
+      r.reset(meta)
+      val k = r.next()
+      val termOff = new Array[Int](k + 1)
+      val tfs = new Array[Int](k)
+      val posOff = new Array[Int](k + 1)
+      var i = 0
+      while (i < k) {
+        termOff(i + 1) = termOff(i) + r.next()
+        tfs(i) = r.next()
+        posOff(i + 1) = posOff(i) + r.next()
+        i += 1
+      }
+      (termOff, tfs, posOff)
+    }
+    def termCount: Int = { val r = new MetaReader; r.reset(meta); r.next() }
+    def termOff(i: Int): Int = decode._1(i)
+    def tf(i: Int): Int = decode._2(i)
+    def posOff(i: Int): Int = decode._3(i)
+    def term(i: Int): String = {
+      val o = decode._1
+      new String(termBytes, o(i), o(i + 1) - o(i),
+        java.nio.charset.StandardCharsets.UTF_8)
+    }
     def termsDecoded: Array[String] = Array.tabulate(termCount)(term)
-    def posSlice(i: Int): Array[Byte] =
-      java.util.Arrays.copyOfRange(posFlat, posOff(i), posOff(i + 1))
+    def posSlice(i: Int): Array[Byte] = {
+      val o = decode._3
+      java.util.Arrays.copyOfRange(posFlat, o(i), o(i + 1))
+    }
   }
 
-  /** Read a little-endian int at byte offset `off`. */
-  @inline def metaInt(b: Array[Byte], off: Int): Int =
-    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
-      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
-
-  @inline private def putMetaInt(b: Array[Byte], off: Int, v: Int): Unit = {
-    b(off) = v.toByte
-    b(off + 1) = (v >>> 8).toByte
-    b(off + 2) = (v >>> 16).toByte
-    b(off + 3) = (v >>> 24).toByte
+  /** Streaming LEB128 reader over a [[TokFlat]] meta blob; reused across
+    * documents (one instance per pack partition, zero per-doc allocation).
+    */
+  final class MetaReader {
+    private var b: Array[Byte] = null
+    private var p = 0
+    def reset(buf: Array[Byte]): Unit = { b = buf; p = 0 }
+    def next(): Int = {
+      var v = 0
+      var shift = 0
+      var cont = true
+      while (cont) {
+        val x = b(p)
+        p += 1
+        v |= (x & 0x7F) << shift
+        shift += 7
+        cont = (x & 0x80) != 0
+      }
+      v
+    }
   }
 
-  /** Pack (termOff, tfs, posOff) into the [[TokFlat]] meta blob. */
+  @inline private def varIntLen(v: Int): Int =
+    if (v < 0x80) 1 else if (v < 0x4000) 2 else if (v < 0x200000) 3
+    else if (v < 0x10000000) 4 else 5
+
+  /** Append LEB128 varint; returns the new write position. */
+  @inline private def putVarInt(b: Array[Byte], pos: Int, value: Int): Int = {
+    var v = value
+    var p = pos
+    while ((v & 0xFFFFFF80) != 0) {
+      b(p) = ((v & 0x7F) | 0x80).toByte; p += 1; v >>>= 7
+    }
+    b(p) = v.toByte
+    p + 1
+  }
+
+  /** Pack (termOff, tfs, posOff) into the [[TokFlat]] varint meta blob. */
   private def packMeta(k: Int, termOff: Array[Int], tfs: Array[Int],
       posOff: Array[Int]): Array[Byte] = {
-    val b = new Array[Byte](4 * (3 * k + 3))
-    putMetaInt(b, 0, k)
+    var n = varIntLen(k)
     var i = 0
-    while (i <= k) { putMetaInt(b, 4 * (1 + i), termOff(i)); i += 1 }
+    while (i < k) {
+      n += varIntLen(termOff(i + 1) - termOff(i)) + varIntLen(tfs(i)) +
+        varIntLen(posOff(i + 1) - posOff(i))
+      i += 1
+    }
+    val b = new Array[Byte](n)
+    var p = putVarInt(b, 0, k)
     i = 0
-    while (i < k) { putMetaInt(b, 4 * (2 + k + i), tfs(i)); i += 1 }
-    i = 0
-    while (i <= k) { putMetaInt(b, 4 * (2 + 2 * k + i), posOff(i)); i += 1 }
+    while (i < k) {
+      p = putVarInt(b, p, termOff(i + 1) - termOff(i))
+      p = putVarInt(b, p, tfs(i))
+      p = putVarInt(b, p, posOff(i + 1) - posOff(i))
+      i += 1
+    }
     b
   }
 
@@ -962,6 +1020,7 @@ object IndexBuilder {
       new Iterator[Row] {
         private val pending = new java.util.ArrayDeque[Row]()
         private val maps = withPosArr.map(new FragMap(_))
+        private val metaReader = new MetaReader
         private var curSeg = Int.MinValue
         private var curBlock = Int.MinValue
         private var finalFlushDone = false
@@ -1009,24 +1068,24 @@ object IndexBuilder {
               val norm = tok.getInt(1).toByte
               // everything crosses the Row boundary as binary (one memcpy
               // per blob): the term blob and position runs are consumed as
-              // raw slices, and the int arrays (term offsets / tfs /
-              // position offsets) are read straight out of the packed meta
-              // blob — no boxed MapObjects loop, no String decode per
-              // posting occurrence anywhere in the pack
+              // raw slices, and the per-term ints (term length / tf /
+              // position-run length) stream out of the varint meta blob —
+              // no boxed MapObjects loop, no String decode per posting
+              // occurrence anywhere in the pack
               val meta = tok.getAs[Array[Byte]](2)
               val termBytes = tok.getAs[Array[Byte]](3)
               val posFlat = tok.getAs[Array[Byte]](4)
               val withPos = withPosArr(fi)
               val m = maps(fi)
-              val nTerms = metaInt(meta, 0)
-              val tfsB = 4 * (2 + nTerms)
-              val posOffB = 4 * (2 + 2 * nTerms)
+              metaReader.reset(meta)
+              val nTerms = metaReader.next()
               var gi = 0
-              var termFrom = metaInt(meta, 4)
-              var posFrom = if (withPos) metaInt(meta, posOffB) else 0
+              var termFrom = 0
+              var posFrom = 0
               while (gi < nTerms) {
-                val tf = metaInt(meta, tfsB + 4 * gi)
-                val termUntil = metaInt(meta, 4 * (2 + gi))
+                val termUntil = termFrom + metaReader.next()
+                val tf = metaReader.next()
+                val posUntil = posFrom + metaReader.next()
                 val frag = m.fragFor(termBytes, termFrom, termUntil)
                 termFrom = termUntil
                 frag.docIds += doc
@@ -1036,11 +1095,8 @@ object IndexBuilder {
                 val ni = norm & 0xFF
                 if (ni < frag.minNorm) frag.minNorm = ni
                 frag.sumTf += tf
-                if (withPos) {
-                  val posUntil = metaInt(meta, posOffB + 4 * (gi + 1))
-                  frag.pos.append(posFlat, posFrom, posUntil)
-                  posFrom = posUntil
-                }
+                if (withPos) frag.pos.append(posFlat, posFrom, posUntil)
+                posFrom = posUntil
                 gi += 1
               }
               fi += 1

@@ -45,7 +45,6 @@ class FusedAnalyzeSpec extends AnyFunSuite {
     */
   private def canonical(tf: TokFlat, ctx: String): Seq[(String, Int, Seq[Byte])] = {
     val k = tf.termCount
-    assert(tf.meta.length == 4 * (3 * k + 3), s"meta arity $ctx")
     assert(tf.termOff(0) == 0 && tf.termOff(k) == tf.termBytes.length, s"termOff cover $ctx")
     assert(tf.posOff(0) == 0 && tf.posOff(k) == tf.posFlat.length, s"posOff cover $ctx")
     (0 until k).map { i =>
