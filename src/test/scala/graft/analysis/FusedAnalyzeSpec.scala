@@ -36,6 +36,12 @@ class FusedAnalyzeSpec extends AnyFunSuite {
     "tab\tsep\nnewline nbsp und_score dash-dash dot.dot",
     (0 until 500).map(i => s"term$i").mkString(" "), // forces table growth
     Seq.fill(300)("same").mkString(" "), // forces TermAcc position-buffer growth
+    // varint meta boundary cases: ≥16384 distinct terms (3-byte k), one
+    // term with tf ≥16384 (3-byte tf + >16 KB packed position run), and a
+    // single >16 KB token (3-byte termLen through the raw/whitespace route)
+    (0 until 17000).map(i => s"t$i").mkString(" "),
+    Seq.fill(17000)("rep").mkString(" "),
+    "y" * 17000,
     "ÅNGSTRÖM straße MASSE Måns"
   ) ++ (0 until 200).map(i => graft.gen.PageGen.page(i.toLong).text)
 
