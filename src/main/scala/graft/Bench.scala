@@ -333,11 +333,13 @@ object Bench {
         // cleanBefore is part of the conjunction so a FORCED pair (built
         // after 2 instrument skips, i.e. the entry gate said the window was
         // degraded) truly stays min-pool-only as promised above — even when
-        // its in-situ cpu ratio happens to read consistent
-        val clean = cleanBefore && hwBefore >= minHwEff && hwAfter >= minHwEff && consistent
+        // its in-situ cpu ratio happens to read consistent. bwMidOk guards
+        // the inter-half gap: a bandwidth burst there straddles the
+        // bandwidth-sensitive 4N half the before/after probes can't see.
+        val clean =
+          cleanBefore && bwMidOk && hwBefore >= minHwEff && hwAfter >= minHwEff && consistent
         pairs += ((tl, th, math.min(hwBefore, hwAfter), clean))
         cpuRatios += cpuRatio
-        locally { val _ = bwMidOk } // mid-probe value lives in the bw arrays
         System.err.println(f"[bench] pair eff=${(tl / th) / (scaleHigh.toDouble / scaleLow)}%.3f " +
           f"clock_spread=$clockSpread%.3f cpu_ratio=$cpuRatio%.3f clean=$clean")
         if (clean) accepted += 1

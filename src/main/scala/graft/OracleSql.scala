@@ -533,7 +533,8 @@ object OracleSql {
        |         ((u1 * u1 + 12345) % 1000000007)::DOUBLE / 1000000007 - 0.5 AS c
        |  FROM (
        |    SELECT t, i, j,
-       |           (($seed + 1000 * t + i * $dim + j + 1) * 2654435761 + 104729)
+       |           (((($seed + 1000 * t + i * $dim + j) % 1000000007
+       |              + 1000000007) % 1000000007 + 1) * 2654435761 + 104729)
        |             % 1000000007 AS u1
        |    FROM (SELECT unnest(generate_series(0, ${nTables - 1})) t),
        |         (SELECT unnest(generate_series(0, ${nPlanes - 1})) i),
@@ -541,7 +542,10 @@ object OracleSql {
        |  )
        |),
        |dots AS (
-       |  SELECT e.vec_id, c.t, c.i, sum(e.v[c.j + 1] * c.c) AS d
+       |  SELECT e.vec_id, c.t, c.i,
+       |         list_reduce(
+       |           list_prepend(0.0::DOUBLE, list(e.v[c.j + 1] * c.c ORDER BY c.j)),
+       |           (a, b) -> a + b) AS d
        |  FROM e, coef c GROUP BY 1, 2, 3
        |),
        |sig AS (

@@ -97,10 +97,11 @@ object IndexBuilder {
   final case class TokFlat(
       len: Int, norm: Int, meta: Array[Byte], termBytes: Array[Byte],
       posFlat: Array[Byte]) {
-    /** Decode the meta stream (test/debug surface — the pipeline streams
-      * it with a reused [[IndexBuilder.MetaReader]]).
+    /** Decode the meta stream once, lazily (test/debug surface — the
+      * pipeline streams it with a reused [[IndexBuilder.MetaReader]];
+      * encoders only see the constructor fields, so the memo never travels).
       */
-    private def decode: (Array[Int], Array[Int], Array[Int]) = {
+    private lazy val decode: (Array[Int], Array[Int], Array[Int]) = {
       val r = new MetaReader
       r.reset(meta)
       val k = r.next()
@@ -841,46 +842,18 @@ object IndexBuilder {
     def clear(): Unit = n = 0
   }
 
-  /** Growable primitive byte buffer with bulk append (replaces both the
-    * boxed `ArrayBuffer[Byte]` norms and the chunk-list position buffer —
-    * position slices copy straight in, no per-posting chunk array).
-    */
-  private final class ByteBuf(initial: Int) {
-    private var a = new Array[Byte](initial)
-    private var n = 0
-    def +=(v: Byte): Unit = {
-      if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
-      a(n) = v; n += 1
-    }
-    def append(src: Array[Byte], from: Int, until: Int): Unit = {
-      val len = until - from
-      if (len > 0) {
-        while (n + len > a.length) a = java.util.Arrays.copyOf(a, a.length * 2)
-        // the pack appends one ~1-3 byte position run PER POSTING — the
-        // JNI arraycopy call overhead dominates at those sizes (JFR leaf
-        // #1 of the whole build), so short runs copy inline
-        if (len <= 4) {
-          var i = from; var j = n
-          while (i < until) { a(j) = src(i); i += 1; j += 1 }
-          n += len
-        } else {
-          System.arraycopy(src, from, a, n, len); n += len
-        }
-      }
-    }
-    def toArray: Array[Byte] = java.util.Arrays.copyOf(a, n)
-    def clear(): Unit = n = 0
-  }
-
   /** One in-progress posting fragment: the postings of one (field, term)
     * within the current (segment, block) of one input partition. Pooled and
     * reused across blocks by [[FragMap]] (buffer capacity is retained).
+    * norms/pos are [[PostingCodec.ByteVec]]s (primitive, bulk-append with an
+    * inline short-copy fast path — position slices copy straight in, no
+    * boxed `ArrayBuffer[Byte]` and no per-posting chunk array).
     */
   private final class Frag(withPos: Boolean) {
     val docIds = new IntBuf(8)
     val tfs = new IntBuf(8)
-    val norms = new ByteBuf(8)
-    val pos: ByteBuf = if (withPos) new ByteBuf(16) else null
+    val norms = new PostingCodec.ByteVec(8)
+    val pos: PostingCodec.ByteVec = if (withPos) new PostingCodec.ByteVec(16) else null
     var maxTf = 0
     var minNorm = 255
     var sumTf = 0L

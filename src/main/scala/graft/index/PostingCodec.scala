@@ -42,6 +42,7 @@ object PostingCodec {
       if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
       a(n) = b; n += 1
     }
+    def +=(b: Byte): Unit = add(b)
     def addVarInt(v0: Int): Unit = {
       var v = v0
       while ((v & ~0x7F) != 0) { add(((v & 0x7F) | 0x80).toByte); v >>>= 7 }
@@ -51,10 +52,23 @@ object PostingCodec {
       val len = until - from
       if (len > 0) {
         while (n + len > a.length) a = java.util.Arrays.copyOf(a, a.length * 2)
-        System.arraycopy(src, from, a, n, len); n += len
+        // the map-side pack appends one ~1-3 byte position run PER POSTING —
+        // the JNI arraycopy call overhead dominates at those sizes (JFR leaf
+        // #1 of the whole build), so short runs copy inline
+        if (len <= 4) {
+          var i = from; var j = n
+          while (i < until) { a(j) = src(i); i += 1; j += 1 }
+          n += len
+        } else {
+          System.arraycopy(src, from, a, n, len); n += len
+        }
       }
     }
     def toArray: Array[Byte] = java.util.Arrays.copyOf(a, n)
+    /** Logical reset retaining capacity (the [[graft.index]] Frag pool reuses
+      * buffers across blocks).
+      */
+    def clear(): Unit = n = 0
   }
 
   final class Reader(bytes: Array[Byte]) {

@@ -70,7 +70,10 @@ object Snapshots {
     * exclusive by three layers: (1) a per-directory JVM monitor — Hadoop
     * local-FS `create(path, overwrite=false)` is exists-then-open, not
     * O_EXCL, so in-process threads need real mutual exclusion; (2) a
-    * `vNNNNNN.lock` claim file for cross-process committers; (3) an
+    * `vNNNNNN.lock` claim file for cross-process committers, created via
+    * O_EXCL `File.createNewFile` on the local filesystem (atomic across
+    * processes) and via create-no-overwrite on remote stores (atomic at the
+    * metadata service); (3) an
     * exists(dst) check under the lock plus rename-failure-as-lost-race,
     * because rename alone cannot carry the claim — on Hadoop's raw local
     * filesystem it maps to rename(2), which silently replaces an existing
@@ -122,13 +125,25 @@ object Snapshots {
         val dst = new Path(d, f"v$next%06d.json")
         val lock = new Path(d, f"v$next%06d.lock")
         // exclusive create = the version claim; FileAlreadyExistsException
-        // (or any IOException with the lock now present) IS the lost race
+        // (or any IOException with the lock now present) IS the lost race.
+        // On the local filesystem Hadoop's create(overwrite=false) is
+        // exists-check-then-open (NOT O_EXCL), so two PROCESSES could both
+        // "win" — route local paths through File.createNewFile, which is
+        // O_EXCL-atomic on POSIX. Remote stores (HDFS/object) serialize
+        // create-no-overwrite at the metadata service, so the Hadoop call is
+        // already an atomic claim there.
         val claimed =
-          try { f.create(lock, false).close(); true }
-          catch {
-            case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-            case _: java.nio.file.FileAlreadyExistsException        => false
-            case e: java.io.IOException => if (f.exists(lock)) false else throw e
+          if (f.getScheme == "file") {
+            val local = new java.io.File(lock.toUri.getPath)
+            try local.createNewFile()
+            catch { case e: java.io.IOException => if (local.exists()) false else throw e }
+          } else {
+            try { f.create(lock, false).close(); true }
+            catch {
+              case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+              case _: java.nio.file.FileAlreadyExistsException        => false
+              case e: java.io.IOException => if (f.exists(lock)) false else throw e
+            }
           }
         if (claimed && f.exists(dst)) {
           // Lost race despite winning the lock: the prior claimant committed
@@ -161,12 +176,28 @@ object Snapshots {
       }
     } finally f.delete(tmp, false)
     }
+    commitEpochs
+      .computeIfAbsent(d.toString, _ => new java.util.concurrent.atomic.AtomicLong)
+      .incrementAndGet()
     committed.get
   }
 
   /** Serializes in-process committers per `_snapshots` dir (see commit()). */
   private val jvmCommitLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Monotonic per-directory count of commits made BY THIS PROCESS. Readers
+    * that memoize [[latest]] behind a staleness TTL (e.g. the SQL TVF layer)
+    * fold this into their memo key so an in-process commit is visible on the
+    * very next query — the TTL then only bounds staleness against OTHER
+    * processes' commits.
+    */
+  def commitEpoch(indexDir: String): Long = {
+    val e = commitEpochs.get(snapDir(indexDir).toString)
+    if (e == null) 0L else e.get()
+  }
+  private val commitEpochs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
 
   private def render(s: Snapshot): String =
     s"""{"version":${s.version},"segments":[${s.segments.mkString(",")}],""" +

@@ -41,9 +41,11 @@ object Similarity {
   /** Deterministic pseudo-random hyperplanes (seeded, data-free), from an
     * ORACLE-PORTABLE hash family: coefficient (i, j) maps its linear index
     * through an affine step then a quadratic scramble mod the 30-bit prime
-    * 1e9+7 (`u1 = ((k+1)·2654435761 + 104729) mod P`; `u2 = (u1² + 12345)
-    * mod P`; coef = u2/P − 0.5). Every intermediate fits in a signed 64-bit
-    * integer, so plain BIGINT SQL reproduces the planes bit-exactly — the
+    * 1e9+7 (`u1 = ((k mod P)+1)·2654435761 + 104729) mod P`; `u2 = (u1² +
+    * 12345) mod P`; coef = u2/P − 0.5). The linear index is reduced mod P
+    * BEFORE the Knuth multiply so every intermediate fits in a signed 64-bit
+    * integer for ANY seed (≤ ~1e9·2654435761 ≈ 2.7e18 < 2^63), so plain
+    * BIGINT SQL reproduces the planes bit-exactly — the
     * r4 `Random.nextGaussian` family was not SQL-expressible, which kept
     * `q_ann_lsh` a rows-only driver check. Sign-hash LSH needs symmetric,
     * well-scattered directions, not true Gaussians; the quadratic scramble
@@ -53,7 +55,7 @@ object Similarity {
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
     val P = 1000000007L
     Array.tabulate(nPlanes, dim) { (i, j) =>
-      val k = seed + i.toLong * dim + j
+      val k = ((seed + i.toLong * dim + j) % P + P) % P
       val u1 = ((k + 1) * 2654435761L + 104729L) % P
       ((u1 * u1 + 12345L) % P).toDouble / P - 0.5
     }

@@ -54,22 +54,25 @@ object GraftSql {
   /** Short-TTL memo of each directory's latest snapshot version, so repeated
     * TVF queries within a window skip the `Snapshots.latest` filesystem
     * listing (a listStatus + JSON read — cheap locally, a real per-query
-    * planning tax on object stores). Staleness bound = [[probeTtlMillis]];
-    * a commit becomes visible to TVFs at most that much later, and
-    * [[invalidate]] drops the memo immediately.
+    * planning tax on object stores). An in-process commit bumps
+    * `Snapshots.commitEpoch`, which is part of the memo key, so same-JVM
+    * commits (the single-driver deploy) are visible on the very next query;
+    * the TTL ([[probeTtlMillis]]) only bounds staleness against commits from
+    * OTHER processes. [[invalidate]] drops the memo immediately.
     */
   private val probeTtlMillis: Long =
     sys.env.get("GRAFT_TVF_REFRESH_MS").map(_.toLong).getOrElse(2000L)
-  private val latestProbe = TrieMap[String, (Long, Option[Int])]()
+  private val latestProbe = TrieMap[String, (Long, Long, Option[Int])]()
 
   private def latestVersion(
       spark: org.apache.spark.sql.SparkSession, dir: String): Option[Int] = {
     val t = System.currentTimeMillis()
+    val epoch = graft.index.Snapshots.commitEpoch(dir)
     latestProbe.get(dir) match {
-      case Some((at, v)) if t - at <= probeTtlMillis => v
+      case Some((at, ep, v)) if t - at <= probeTtlMillis && ep == epoch => v
       case _ =>
         val v = graft.index.Snapshots.latest(spark, dir).map(_.version)
-        latestProbe.put(dir, (t, v))
+        latestProbe.put(dir, (t, epoch, v))
         v
     }
   }
