@@ -34,6 +34,12 @@ object PlanDump {
       s.search(PhraseQuery("text", Seq((0, "body42"), (1, "body7")), 0)))
     dump("range on fast field (docs-table predicate)",
       s.search(RangeQuery("warc_ts", Some("2026-01-01 00:10:00"), None)))
+    // raw single-token-field fast path: a TermQuery on a stored raw field
+    // (lang) must be answered from the DOCS scan — pushed EqualTo(lang,en),
+    // no postings FileScan anywhere in the plan, closed-form BM25 (tf=1)
+    dump("head term on raw field top-10 (docs-scan fast path, no posting IO)",
+      s.search(TermQuery("lang", "en"))
+        .orderBy(org.apache.spark.sql.functions.col("score").desc).limit(10))
     // SQL TVF route: must expand to the SAME physical shape as the
     // DataFrame API (TakeOrderedAndProject + pushed term filters) — the
     // table function is analysis-time sugar, invisible to Catalyst
