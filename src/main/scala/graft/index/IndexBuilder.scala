@@ -79,31 +79,42 @@ object IndexBuilder {
     * allocation churn is the memory-bandwidth tax the wide build pays
     * hardest. Terms travel as ONE UTF-8 blob + offsets rather than
     * `array<string>`, and ALL int arrays (term offsets, tfs, position
-    * offsets) travel packed inside one little-endian `meta` blob rather than
+    * offsets) travel packed inside the varint `meta` section rather than
     * `array<int>` columns: an `array<int>` crosses the external-Row boundary
     * of the pack's mapPartitions through a boxed MapObjects loop (a measured
     * ~27% of the pack's fill cpu in JFR), while a binary column is a single
     * memcpy each way and is consumed by absolute-offset int reads.
     *
-    * `meta` layout (LEB128 varints — term lengths, tfs and position-run
-    * lengths are single-digit-byte values, so varints cut the blob ~4× vs
-    * fixed 4-byte ints, a direct memory-bandwidth saving on the wide
-    * phases): `[k]` then per term `[termLen][tf][posLen]`, consumed
-    * SEQUENTIALLY by the pack. Term i's UTF-8 bytes are
-    * `termBytes[termOff(i), termOff(i+1))` (offsets = prefix sums of the
-    * lengths); its packed delta-varint positions are
-    * `posFlat[posOff(i), posOff(i+1))`.
+    * `blob` layout — the THREE former byte columns (varint meta, UTF-8 term
+    * bytes, packed positions) fused into ONE binary column:
+    * `[varint metaLen][varint termsLen][meta][termBytes][posFlat]`. A
+    * binary struct field costs one defensive copy per row access at the
+    * pack's external-Row boundary (`UnsafeRow.getBinary`), so one fused
+    * column is one copy + one allocation per (doc, field) instead of three
+    * (a measured allocation hot spot at the contended wide phase). The meta
+    * section (LEB128 varints — term lengths, tfs and position-run lengths
+    * are single-digit-byte values, so varints cut it ~4× vs fixed 4-byte
+    * ints): `[k]` then per term `[termLen][tf][posLen]`, consumed
+    * SEQUENTIALLY by the pack straight out of the blob (the two header
+    * varints give the section bases up front, so decoding stays one-pass).
+    * Term i's UTF-8 bytes are `termBase + [termOff(i), termOff(i+1))`
+    * (offsets = prefix sums of the lengths); its packed delta-varint
+    * positions are `posBase + [posOff(i), posOff(i+1))`.
     */
-  final case class TokFlat(
-      len: Int, norm: Int, meta: Array[Byte], termBytes: Array[Byte],
-      posFlat: Array[Byte]) {
-    /** Decode the meta stream once, lazily (test/debug surface — the
-      * pipeline streams it with a reused [[IndexBuilder.MetaReader]];
+  final case class TokFlat(len: Int, norm: Int, blob: Array[Byte]) {
+    /** Decode the header + meta stream once, lazily (test/debug surface —
+      * the pipeline streams it with a reused [[IndexBuilder.MetaReader]];
       * encoders only see the constructor fields, so the memo never travels).
+      * Offsets are section-relative: (termBase, posBase, termOff, tfs,
+      * posOff).
       */
-    private lazy val decode: (Array[Int], Array[Int], Array[Int]) = {
+    private lazy val decode: (Int, Int, Array[Int], Array[Int], Array[Int]) = {
       val r = new MetaReader
-      r.reset(meta)
+      r.reset(blob)
+      val metaLen = r.next()
+      val termsLen = r.next()
+      val termBase = r.position + metaLen
+      val posBase = termBase + termsLen
       val k = r.next()
       val termOff = new Array[Int](k + 1)
       val tfs = new Array[Int](k)
@@ -115,21 +126,27 @@ object IndexBuilder {
         posOff(i + 1) = posOff(i) + r.next()
         i += 1
       }
-      (termOff, tfs, posOff)
+      (termBase, posBase, termOff, tfs, posOff)
     }
-    def termCount: Int = { val r = new MetaReader; r.reset(meta); r.next() }
-    def termOff(i: Int): Int = decode._1(i)
-    def tf(i: Int): Int = decode._2(i)
-    def posOff(i: Int): Int = decode._3(i)
+    def termCount: Int = decode._3.length - 1
+    def termOff(i: Int): Int = decode._3(i)
+    def tf(i: Int): Int = decode._4(i)
+    def posOff(i: Int): Int = decode._5(i)
+    /** The term-bytes section (debug/test copy). */
+    def termBytes: Array[Byte] =
+      java.util.Arrays.copyOfRange(blob, decode._1, decode._2)
+    /** The packed-positions section (debug/test copy). */
+    def posFlat: Array[Byte] =
+      java.util.Arrays.copyOfRange(blob, decode._2, blob.length)
     def term(i: Int): String = {
-      val o = decode._1
-      new String(termBytes, o(i), o(i + 1) - o(i),
+      val (base, _, o, _, _) = decode
+      new String(blob, base + o(i), o(i + 1) - o(i),
         java.nio.charset.StandardCharsets.UTF_8)
     }
     def termsDecoded: Array[String] = Array.tabulate(termCount)(term)
     def posSlice(i: Int): Array[Byte] = {
-      val o = decode._3
-      java.util.Arrays.copyOfRange(posFlat, o(i), o(i + 1))
+      val (_, base, _, _, o) = decode
+      java.util.Arrays.copyOfRange(blob, base + o(i), base + o(i + 1))
     }
   }
 
@@ -140,6 +157,8 @@ object IndexBuilder {
     private var b: Array[Byte] = null
     private var p = 0
     def reset(buf: Array[Byte]): Unit = { b = buf; p = 0 }
+    /** Current read offset into the buffer (section-base arithmetic). */
+    def position: Int = p
     def next(): Int = {
       var v = 0
       var shift = 0
@@ -170,56 +189,48 @@ object IndexBuilder {
     p + 1
   }
 
-  /** Pack (termOff, tfs, posOff) into the [[TokFlat]] varint meta blob. */
-  private def packMeta(k: Int, termOff: Array[Int], tfs: Array[Int],
-      posOff: Array[Int]): Array[Byte] = {
-    var n = varIntLen(k)
-    var i = 0
-    while (i < k) {
-      n += varIntLen(termOff(i + 1) - termOff(i)) + varIntLen(tfs(i)) +
-        varIntLen(posOff(i + 1) - posOff(i))
-      i += 1
-    }
-    val b = new Array[Byte](n)
-    var p = putVarInt(b, 0, k)
-    i = 0
-    while (i < k) {
-      p = putVarInt(b, p, termOff(i + 1) - termOff(i))
-      p = putVarInt(b, p, tfs(i))
-      p = putVarInt(b, p, posOff(i + 1) - posOff(i))
-      i += 1
-    }
-    b
-  }
-
   /** Assemble a [[TokFlat]] from decoded terms + parallel arrays (the
-    * shared tail of every producer path).
+    * shared tail of every producer path): sizes both varint sections, then
+    * writes header, meta, term bytes and positions into ONE exact-size
+    * blob — a single allocation per (doc, field) on the analyze side to
+    * mirror the single copy on the pack side.
     */
   private def mkTokFlat(len: Int, norm: Int, terms: Array[String],
       tfs: Array[Int], posFlat: Array[Byte], posOff: Array[Int]): TokFlat = {
-    val (blob, termOff) = termsToBlob(terms)
-    TokFlat(len, norm, packMeta(terms.length, termOff, tfs, posOff), blob, posFlat)
-  }
-
-  /** Sorted term Strings → (UTF-8 blob, k+1 offsets). Term i's bytes are
-    * `termBytes[termOff(i), termOff(i+1))`.
-    */
-  private def termsToBlob(terms: Array[String]): (Array[Byte], Array[Int]) = {
     val k = terms.length
-    val off = new Array[Int](k + 1)
     val parts = new Array[Array[Byte]](k)
-    var total = 0
+    var metaLen = varIntLen(k)
+    var termsLen = 0
     var i = 0
     while (i < k) {
       val b = terms(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      parts(i) = b; off(i) = total; total += b.length
+      parts(i) = b
+      metaLen += varIntLen(b.length) + varIntLen(tfs(i)) +
+        varIntLen(posOff(i + 1) - posOff(i))
+      termsLen += b.length
       i += 1
     }
-    off(k) = total
-    val blob = new Array[Byte](total)
+    val posLen = posOff(k)
+    val blob = new Array[Byte](
+      varIntLen(metaLen) + varIntLen(termsLen) + metaLen + termsLen + posLen)
+    var p = putVarInt(blob, 0, metaLen)
+    p = putVarInt(blob, p, termsLen)
+    p = putVarInt(blob, p, k)
     i = 0
-    while (i < k) { System.arraycopy(parts(i), 0, blob, off(i), parts(i).length); i += 1 }
-    (blob, off)
+    while (i < k) {
+      p = putVarInt(blob, p, parts(i).length)
+      p = putVarInt(blob, p, tfs(i))
+      p = putVarInt(blob, p, posOff(i + 1) - posOff(i))
+      i += 1
+    }
+    i = 0
+    while (i < k) {
+      System.arraycopy(parts(i), 0, blob, p, parts(i).length)
+      p += parts(i).length
+      i += 1
+    }
+    System.arraycopy(posFlat, 0, blob, p, posLen)
+    TokFlat(len, norm, blob)
   }
 
   /** Per-term accumulator for [[analyzeField]]: tf + the delta-varint
@@ -310,7 +321,7 @@ object IndexBuilder {
   }
 
   private val EmptyTokFlat =
-    TokFlat(0, 0, packMeta(0, Array(0), Array.empty, Array(0)), Array.empty, Array.empty)
+    mkTokFlat(0, 0, Array.empty, Array.empty, Array.empty, Array(0))
 
   /** Flat-shape tokenize for the build's hot path: same grouping semantics
     * as [[analyzeField]] (term-sorted, positions in token order, byte-
@@ -335,11 +346,9 @@ object IndexBuilder {
         if (value.isEmpty) EmptyTokFlat
         else {
           val term = if (analyzerName == "raw_ci") value.toLowerCase else value
-          val tb = term.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           // single token at position 0: packed position delta-varint = [0x00]
-          TokFlat(1, FieldNorm.encode(1L),
-            packMeta(1, Array(0, tb.length), Array(1), Array(0, 1)),
-            tb, Array(0.toByte))
+          mkTokFlat(1, FieldNorm.encode(1L),
+            Array(term), Array(1), Array(0.toByte), Array(0, 1))
         }
       case None => analyzeFieldFlatLegacy(analyzerName, value)
     }
@@ -505,8 +514,8 @@ object IndexBuilder {
       */
     def result(): TokFlat = {
       val k = size
-      if (k == 0) return TokFlat(survivors, FieldNorm.encode(survivors.toLong),
-        packMeta(0, Array(0), Array.empty, Array(0)), Array.empty, Array.empty)
+      if (k == 0) return mkTokFlat(survivors, FieldNorm.encode(survivors.toLong),
+        Array.empty, Array.empty, Array.empty, Array(0))
       val terms = new Array[String](k)
       val tfs = new Array[Int](k)
       val posOff = new Array[Int](k + 1)
@@ -1039,27 +1048,30 @@ object IndexBuilder {
             while (fi < nFields) {
               val tok = r.getAs[Row](tokIdxs(fi))
               val norm = tok.getInt(1).toByte
-              // everything crosses the Row boundary as binary (one memcpy
-              // per blob): the term blob and position runs are consumed as
-              // raw slices, and the per-term ints (term length / tf /
-              // position-run length) stream out of the varint meta blob —
-              // no boxed MapObjects loop, no String decode per posting
-              // occurrence anywhere in the pack
-              val meta = tok.getAs[Array[Byte]](2)
-              val termBytes = tok.getAs[Array[Byte]](3)
-              val posFlat = tok.getAs[Array[Byte]](4)
+              // everything crosses the Row boundary as ONE binary blob (one
+              // memcpy + one allocation per (doc, field)): the term bytes
+              // and position runs are consumed as raw slices of the blob,
+              // and the per-term ints (term length / tf / position-run
+              // length) stream out of its varint meta section — no boxed
+              // MapObjects loop, no String decode per posting occurrence
+              // anywhere in the pack. The two header varints give the
+              // section bases, so the walk stays one-pass.
+              val blob = tok.getAs[Array[Byte]](2)
               val withPos = withPosArr(fi)
               val m = maps(fi)
-              metaReader.reset(meta)
+              metaReader.reset(blob)
+              val metaLen = metaReader.next()
+              val termsLen = metaReader.next()
+              val termBase = metaReader.position + metaLen
               val nTerms = metaReader.next()
               var gi = 0
-              var termFrom = 0
-              var posFrom = 0
+              var termFrom = termBase
+              var posFrom = termBase + termsLen
               while (gi < nTerms) {
                 val termUntil = termFrom + metaReader.next()
                 val tf = metaReader.next()
                 val posUntil = posFrom + metaReader.next()
-                val frag = m.fragFor(termBytes, termFrom, termUntil)
+                val frag = m.fragFor(blob, termFrom, termUntil)
                 termFrom = termUntil
                 frag.docIds += doc
                 frag.tfs += tf
@@ -1068,7 +1080,7 @@ object IndexBuilder {
                 val ni = norm & 0xFF
                 if (ni < frag.minNorm) frag.minNorm = ni
                 frag.sumTf += tf
-                if (withPos) frag.pos.append(posFlat, posFrom, posUntil)
+                if (withPos) frag.pos.append(blob, posFrom, posUntil)
                 posFrom = posUntil
                 gi += 1
               }
