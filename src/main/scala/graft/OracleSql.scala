@@ -596,12 +596,12 @@ object OracleSql {
        |)
        |SELECT doc_id,
        |       len(ws) AS tc,
-       |       round(nstop::DOUBLE / len(ws), 4) AS swr,
-       |       round(
+       |       floor((nstop::DOUBLE / len(ws)) * 10000.0 + 0.5) / 10000.0 AS swr,
+       |       floor((
        |         least(length(text) / 500.0, 1.0) * 0.4 +
        |         least((nstop::DOUBLE / len(ws)) * 4.0, 1.0) * 0.3 +
        |         ((length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')))::DOUBLE /
-       |          length(text)) * 0.3, 4) AS quality
+       |          length(text)) * 0.3) * 10000.0 + 0.5) / 10000.0 AS quality
        |FROM t ORDER BY doc_id""".stripMargin
 
   /** Rolling-hash fingerprint — mirrors TextStats.fingerprint's wrapping

@@ -363,7 +363,7 @@ object SparkEntry {
       d.select(
         col("doc_id"),
         ops.TextStats.tokenCount(col("text")).as("tc"),
-        round(ops.TextStats.stopwordRatio(col("text")), 4).as("swr"),
+        ops.TextStats.round4(ops.TextStats.stopwordRatio(col("text"))).as("swr"),
         ops.TextStats.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")
     }),

@@ -31,6 +31,16 @@ object TextStats {
       .otherwise(size(stops).cast("double") / size(words))
   }
 
+  /** Oracle-portable 4-decimal rounding: `floor(x·10⁴ + 0.5)/10⁴` over the
+    * raw binary double. Spark's `round(double, d)` rounds the double's
+    * SHORTEST DECIMAL STRING (`BigDecimal.valueOf`) while DuckDB rounds the
+    * binary value, so the two disagree exactly when the underlying double
+    * sits on a `.xxxx5` boundary (observed once in 5,000 docs at sf0.1).
+    * This formula is the same IEEE op sequence in both engines, so the
+    * results are bit-identical always.
+    */
+  def round4(x: Column): Column = floor(x * 10000.0 + 0.5) / 10000.0
+
   /** Composite quality score in [0,1]:
     * 0.4·min(len/500,1) + 0.3·min(4·stopword_ratio,1) + 0.3·alpha_ratio.
     * Deterministic arithmetic, mirrored exactly by the DuckDB oracle.
@@ -43,7 +53,7 @@ object TextStats {
         .otherwise(
           (length(text) - length(regexp_replace(text, "[a-zA-Z]", ""))).cast("double") /
             length(text))
-    round(lenPart * 0.4 + swPart * 0.3 + alphaPart * 0.3, 4)
+    round4(lenPart * 0.4 + swPart * 0.3 + alphaPart * 0.3)
   }
 
   /** Character-trigram language-ID over a tiny built-in profile set (en, de,
