@@ -380,32 +380,50 @@ object IndexBuilder {
   /** Streaming token accumulator: an open-addressed, generation-stamped
     * (term → [[TermAcc]]) table fed directly by [[graft.analysis
     * .FusedTokenize]]. Per steady-state document it allocates ONLY the
-    * output arrays and one String per first-seen distinct term — tokens
-    * repeat within and across documents, so the table, its TermAcc pool and
-    * the lowercase/stop filters all run on the reused char buffer.
+    * output blob: term keys live as byte slices in a reused pool (a String
+    * key per first-seen distinct term plus its UTF-8 re-encode in the blob
+    * assembler were a measured ~13% of build allocation volume — JFR
+    * `accFor`/`mkTokFlat` sites — and allocation churn is the memory-
+    * bandwidth tax the wide build pays hardest), so the table, the TermAcc
+    * pool, the key pool and the lowercase/stop filters all run on reused
+    * buffers.
     *
     * ASCII tokens lowercase in place (exactly `String.toLowerCase` for
     * ASCII input under any non-Turkic default locale — guarded below);
     * non-ASCII tokens fall back to the String-based chain, preserving
     * locale/special-casing semantics bit-for-bit with the legacy path.
+    * Both paths key the SAME table: hashes follow the `String.hashCode`
+    * convention over (byte & 0xFF), which coincides with the char-slice
+    * hash for ASCII — so a term reachable via both routes (e.g. Kelvin-sign
+    * K lowercasing to ASCII `k`) lands in one accumulator, and the ASCII
+    * hot path's table layout (hence blob term order) is bit-identical to
+    * the former String-keyed table's.
     */
   private final class FusedAcc(spec: Analyzers.FusedSpec) extends graft.analysis.TokenSink {
     import graft.analysis.FusedTokenize.StopChars
 
     private var cap = 256
     private var mask = cap - 1
-    private var keys = new Array[String](cap)
+    private var offs = new Array[Int](cap)
+    private var lens = new Array[Int](cap)
+    private var hs = new Array[Int](cap)
     private var accs = new Array[TermAcc](cap)
     private var gens = new Array[Int](cap)
     private var gen = 0
     private var size = 0
     private var survivors = 0
 
+    // per-doc UTF-8 key bytes (reset rewinds, capacity kept across docs)
+    private var termPool = new Array[Byte](1 << 12)
+    private var poolEnd = 0
+    // live-slot scratch for result()'s emit pass
+    private var emit = new Array[Int](256)
+
     private var pool = new Array[TermAcc](64)
     private var poolN = 0
     private var poolUsed = 0
 
-    def reset(): Unit = { gen += 1; size = 0; survivors = 0; poolUsed = 0 }
+    def reset(): Unit = { gen += 1; size = 0; survivors = 0; poolUsed = 0; poolEnd = 0 }
 
     private def takeAcc(): TermAcc = {
       if (poolUsed < poolN) { val a = pool(poolUsed); poolUsed += 1; a.reset(); a }
@@ -420,39 +438,55 @@ object IndexBuilder {
     @inline private def spread(h: Int): Int = h ^ (h >>> 16)
 
     private def grow(): Unit = {
-      val oldKeys = keys; val oldAccs = accs; val oldGens = gens; val oldCap = cap
+      val oldOffs = offs; val oldLens = lens; val oldHs = hs
+      val oldAccs = accs; val oldGens = gens; val oldCap = cap
       cap *= 2; mask = cap - 1
-      keys = new Array[String](cap); accs = new Array[TermAcc](cap); gens = new Array[Int](cap)
+      offs = new Array[Int](cap); lens = new Array[Int](cap); hs = new Array[Int](cap)
+      accs = new Array[TermAcc](cap); gens = new Array[Int](cap)
       // fresh gens array is all-0; live entries must carry the CURRENT gen,
       // which may be 0 only before any reset — bump to keep 0 meaning empty
       if (gen == 0) gen = 1
       var i = 0
       while (i < oldCap) {
-        if (oldKeys(i) != null && oldGens(i) == gen) {
-          var j = spread(oldKeys(i).hashCode) & mask
-          while (keys(j) != null && gens(j) == gen) j = (j + 1) & mask
-          keys(j) = oldKeys(i); accs(j) = oldAccs(i); gens(j) = gen
+        if (oldAccs(i) != null && oldGens(i) == gen) {
+          var j = spread(oldHs(i)) & mask
+          while (accs(j) != null && gens(j) == gen) j = (j + 1) & mask
+          offs(j) = oldOffs(i); lens(j) = oldLens(i); hs(j) = oldHs(i)
+          accs(j) = oldAccs(i); gens(j) = gen
         }
         i += 1
       }
     }
 
-    /** Lookup-or-insert by char slice (hash pre-computed, String.hashCode
-      * convention).
+    private def growPool(need: Int): Unit = {
+      var n = termPool.length
+      while (n < need) n *= 2
+      termPool = java.util.Arrays.copyOf(termPool, n)
+    }
+
+    /** Lookup-or-insert by ASCII char slice (hash pre-computed,
+      * String.hashCode convention — equals the byte-slice hash for ASCII).
       */
     private def accFor(buf: Array[Char], len: Int, h: Int): TermAcc = {
       var i = spread(h) & mask
       while (true) {
-        val k = keys(i)
-        if (k == null || gens(i) != gen) {
+        if (accs(i) == null || gens(i) != gen) {
           if ((size + 1) * 10 > cap * 7) { grow(); return accFor(buf, len, h) }
           val a = takeAcc()
-          keys(i) = new String(buf, 0, len); accs(i) = a; gens(i) = gen; size += 1
+          if (poolEnd + len > termPool.length) growPool(poolEnd + len)
+          var j = 0
+          while (j < len) { termPool(poolEnd + j) = buf(j).toByte; j += 1 }
+          offs(i) = poolEnd; lens(i) = len; hs(i) = h
+          poolEnd += len
+          accs(i) = a; gens(i) = gen; size += 1
           return a
         }
-        if (k.length == len) {
+        if (hs(i) == h && lens(i) == len) {
+          val o = offs(i)
           var j = 0
-          while (j < len && k.charAt(j) == buf(j)) j += 1
+          // a non-ASCII pool byte masks to >= 0x80 and can never equal an
+          // ASCII char, so cross-route probes mismatch correctly
+          while (j < len && (termPool(o + j) & 0xFF) == buf(j).toInt) j += 1
           if (j == len) return accs(i)
         }
         i = (i + 1) & mask
@@ -460,21 +494,40 @@ object IndexBuilder {
       null // unreachable
     }
 
-    private def accForStr(s: String): TermAcc = {
-      val h = s.hashCode
+    /** Lookup-or-insert by UTF-8 byte array (the non-ASCII fallback route). */
+    private def accForBytes(b: Array[Byte], h: Int): TermAcc = {
+      val len = b.length
       var i = spread(h) & mask
       while (true) {
-        val k = keys(i)
-        if (k == null || gens(i) != gen) {
-          if ((size + 1) * 10 > cap * 7) { grow(); return accForStr(s) }
+        if (accs(i) == null || gens(i) != gen) {
+          if ((size + 1) * 10 > cap * 7) { grow(); return accForBytes(b, h) }
           val a = takeAcc()
-          keys(i) = s; accs(i) = a; gens(i) = gen; size += 1
+          if (poolEnd + len > termPool.length) growPool(poolEnd + len)
+          System.arraycopy(b, 0, termPool, poolEnd, len)
+          offs(i) = poolEnd; lens(i) = len; hs(i) = h
+          poolEnd += len
+          accs(i) = a; gens(i) = gen; size += 1
           return a
         }
-        if (k == s || (k.length == s.length && k.equals(s))) return accs(i)
+        if (hs(i) == h && lens(i) == len) {
+          val o = offs(i)
+          var j = 0
+          while (j < len && termPool(o + j) == b(j)) j += 1
+          if (j == len) return accs(i)
+        }
         i = (i + 1) & mask
       }
       null // unreachable
+    }
+
+    /** String.hashCode convention over (byte & 0xFF) — coincides with the
+      * char-slice hash for ASCII content.
+      */
+    private def hashBytes(b: Array[Byte]): Int = {
+      var h = 0
+      var i = 0
+      while (i < b.length) { h = 31 * h + (b(i) & 0xFF); i += 1 }
+      h
     }
 
     override def token(buf: Array[Char], len: Int, rawBytes: Int, pos: Int, ascii: Boolean): Unit = {
@@ -497,7 +550,8 @@ object IndexBuilder {
         if (spec.lower) s = s.toLowerCase
         if (spec.stop && graft.analysis.StopWords.All.contains(s)) return
         survivors += 1
-        accForStr(s).addPos(pos)
+        val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        accForBytes(b, hashBytes(b)).addPos(pos)
       }
     }
 
@@ -516,32 +570,51 @@ object IndexBuilder {
       val k = size
       if (k == 0) return mkTokFlat(survivors, FieldNorm.encode(survivors.toLong),
         Array.empty, Array.empty, Array.empty, Array(0))
-      val terms = new Array[String](k)
-      val tfs = new Array[Int](k)
-      val posOff = new Array[Int](k + 1)
-      val emitAccs = new Array[TermAcc](k)
-      var i = 0; var t = 0; var total = 0
+      if (emit.length < k) emit = new Array[Int](math.max(k, emit.length * 2))
+      // pass 1: gather live slots in table-scan order and size every blob
+      // section — the blob below is the ONE allocation of a steady-state doc
+      var metaLen = varIntLen(k)
+      var termsLen = 0
+      var posLen = 0
+      var i = 0; var t = 0
       while (i < cap) {
-        if (keys(i) != null && gens(i) == gen) {
+        if (accs(i) != null && gens(i) == gen) {
+          emit(t) = i; t += 1
           val acc = accs(i)
-          terms(t) = keys(i)
-          emitAccs(t) = acc
-          tfs(t) = acc.tf
-          posOff(t) = total
-          total += acc.len
-          t += 1
+          metaLen += varIntLen(lens(i)) + varIntLen(acc.tf) + varIntLen(acc.len)
+          termsLen += lens(i)
+          posLen += acc.len
         }
         i += 1
       }
-      posOff(k) = total
-      val posFlat = new Array[Byte](total)
+      val blob = new Array[Byte](
+        varIntLen(metaLen) + varIntLen(termsLen) + metaLen + termsLen + posLen)
+      var p = putVarInt(blob, 0, metaLen)
+      p = putVarInt(blob, p, termsLen)
+      p = putVarInt(blob, p, k)
       i = 0
       while (i < k) {
-        val acc = emitAccs(i)
-        System.arraycopy(acc.buf, 0, posFlat, posOff(i), acc.len)
+        val s = emit(i)
+        p = putVarInt(blob, p, lens(s))
+        p = putVarInt(blob, p, accs(s).tf)
+        p = putVarInt(blob, p, accs(s).len)
         i += 1
       }
-      mkTokFlat(survivors, FieldNorm.encode(survivors.toLong), terms, tfs, posFlat, posOff)
+      i = 0
+      while (i < k) {
+        val s = emit(i)
+        System.arraycopy(termPool, offs(s), blob, p, lens(s))
+        p += lens(s)
+        i += 1
+      }
+      i = 0
+      while (i < k) {
+        val a = accs(emit(i))
+        System.arraycopy(a.buf, 0, blob, p, a.len)
+        p += a.len
+        i += 1
+      }
+      TokFlat(survivors, FieldNorm.encode(survivors.toLong), blob)
     }
   }
 
