@@ -160,16 +160,23 @@ object IndexBuilder {
     /** Current read offset into the buffer (section-base arithmetic). */
     def position: Int = p
     def next(): Int = {
-      var v = 0
-      var shift = 0
+      // one-byte fast path: meta values (term lengths, tfs, position-run
+      // lengths) are single-digit-byte in the common case, and this reader
+      // is the pack's hottest frame — skip the shift bookkeeping for it
+      val x: Int = b(p)
+      if (x >= 0) { p += 1; return x }
+      var v = x & 0x7F
+      var shift = 7
+      var q = p + 1
       var cont = true
       while (cont) {
-        val x = b(p)
-        p += 1
-        v |= (x & 0x7F) << shift
+        val y = b(q)
+        q += 1
+        v |= (y & 0x7F) << shift
         shift += 7
-        cont = (x & 0x80) != 0
+        cont = (y & 0x80) != 0
       }
+      p = q
       v
     }
   }
