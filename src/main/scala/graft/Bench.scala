@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 import scala.sys.process._
 
@@ -545,22 +545,31 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val pairEffsJson = effs.map(e => f"$e%.3f").mkString("[", ",", "]")
     val hwJson = hwSeen.result().map(e => f"$e%.3f").mkString("[", ",", "]")
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pages":$nPages,""" +
-        f""""build_docs_per_sec_${scaleLow}c":$thrLow%.1f,"build_docs_per_sec_${scaleHigh}c":$thrMid%.1f,""" +
-        f""""build_docs_per_sec_${cpusHigh}c":$thrFull%.1f,""" +
-        s""""pair_efficiencies":$pairEffsJson,"pair_clean":${allPairs.map(_._4).mkString("[", ",", "]")},""" +
+    // Key order matters for a tail-truncated capture: the long instrument
+    // arrays go FIRST so that the headline keys (queries, docs/s, scaling
+    // efficiency) always sit in the final ~1000 chars of the line.
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec",""" +
         s""""hw_busyloop_efficiencies":$hwJson,""" +
         s""""clock_gops":${clockSeen.result().map(c => f"$c%.3f").mkString("[", ",", "]")},""" +
-        s""""pair_cpu_ratios":${cpuRatios.result().map(c => f"$c%.3f").mkString("[", ",", "]")},""" +
         s""""membw_gbps":${bwSeen.result().map(e => f"$e%.1f").mkString("[", ",", "]")},""" +
         s""""query_membw_gbps":${queryBw.result().map(e => f"$e%.1f").mkString("[", ",", "]")},""" +
         s""""query_clock_gops":${queryClock.result().map(c => f"$c%.3f").mkString("[", ",", "]")},""" +
+        s""""sf":"$sfDir","pages":$nPages,""" +
+        s""""pair_efficiencies":$pairEffsJson,""" +
+        s""""pair_cpu_ratios":${cpuRatios.result().map(c => f"$c%.3f").mkString("[", ",", "]")},""" +
+        s""""pair_clean":${allPairs.map(_._4).mkString("[", ",", "]")},""" +
         s""""query_passes":$queryPasses,"query_weather_clean":$queryClean,""" +
+        s""""queries":$qs,""" +
+        f""""build_docs_per_sec_${scaleLow}c":$thrLow%.1f,"build_docs_per_sec_${scaleHigh}c":$thrMid%.1f,""" +
+        f""""build_docs_per_sec_${cpusHigh}c":$thrFull%.1f,""" +
         f""""scaling_pair":"${scaleLow}c->${scaleHigh}c","scaling_efficiency_best_of":$effBestOf%.3f,""" +
         effAdjusted.map(a => f""""scaling_efficiency_cpu_adjusted":$a%.3f,""").getOrElse("") +
         f""""scaling_efficiency":$eff%.3f}"""
-    )
+    println(json)
+    // Belt-and-braces for stdout capture limits: the same line on disk.
+    try Files.write(Paths.get("BENCH_LAST.json"), json.getBytes("UTF-8"))
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
