@@ -98,6 +98,44 @@ object FusedTokenize {
     c.flush(sink)
   }
 
+  /** ASCII fast path over raw UTF-8 bytes: for pure-ASCII input every byte
+    * IS a codepoint (1 UTF-8 byte, 1 char, never CJK, never a surrogate), so
+    * the per-codepoint semantics of [[run]] collapse to a straight byte
+    * scan — no String materialization at all. Returns `false` the moment a
+    * non-ASCII byte (sign bit set) appears; the caller must then reset its
+    * sink and re-run the String-based [[run]], which preserves full Unicode
+    * semantics bit-for-bit. Token-char classification per kind is identical
+    * to [[run]] (same predicates, on codepoints < 0x80).
+    */
+  def runAscii(bytes: Array[Byte], n: Int, kind: Int, sink: TokenSink): Boolean = {
+    val c = new Cursor
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if (b < 0) return false
+      val cp = b.toInt
+      val isTok = kind match {
+        case KindSumma => SummaTokenizer.isTokenChar(cp)
+        case KindSimple =>
+          Character.isLetter(cp) || {
+            val t = Character.getType(cp)
+            t == Character.DECIMAL_DIGIT_NUMBER || t == Character.LETTER_NUMBER ||
+            t == Character.OTHER_NUMBER
+          }
+        case _ => !Character.isWhitespace(cp)
+      }
+      if (isTok) {
+        if (c.blen + 1 > c.buf.length) c.buf = java.util.Arrays.copyOf(c.buf, c.buf.length * 2)
+        c.buf(c.blen) = cp.toChar
+        c.blen += 1
+        c.bbytes += 1
+      } else c.flush(sink)
+      i += 1
+    }
+    c.flush(sink)
+    true
+  }
+
   /** Stop-list membership probe addressable by a raw char buffer — a
     * `Set[String]` lookup would force a String allocation per token just to
     * drop it. Hash/compare agree with `String.hashCode`/`equals`, table

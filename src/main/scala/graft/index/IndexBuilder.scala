@@ -1,9 +1,15 @@
 package graft.index
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.analysis.Analyzers
 
@@ -382,6 +388,80 @@ object IndexBuilder {
     var acc = m.get(name)
     if (acc == null) { acc = new FusedAcc(spec); m.put(name, acc) }
     acc
+  }
+
+  // reused copy target for the zero-String tokenize path (one buffer per
+  // task thread, grown to the largest document seen)
+  private val asciiBytesTL: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](8 * 1024))
+
+  /** Tokenize straight from the columnar engine's `UTF8String` — the hot
+    * path's entry since the [[TokenizeFlatExpr]] switch. For fused word-run
+    * analyzers over pure-ASCII text (the overwhelming web-text case) the
+    * bytes are scanned in place via [[graft.analysis.FusedTokenize.runAscii]]
+    * with zero String/char[] materialization; the first non-ASCII byte
+    * falls back to the String-based [[analyzeFieldFlat]] route, which is
+    * pinned output-identical by FusedAnalyzeSpec.
+    */
+  def analyzeFieldFlatUtf8(analyzerName: String, value: UTF8String): TokFlat = {
+    if (value == null) return EmptyTokFlat
+    Analyzers.fusedByName.get(analyzerName) match {
+      case Some(spec) =>
+        val n = value.numBytes
+        var buf = asciiBytesTL.get()
+        if (buf.length < n) {
+          buf = new Array[Byte](java.lang.Integer.highestOneBit(math.max(n - 1, 1)) * 2)
+          asciiBytesTL.set(buf)
+        }
+        value.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET)
+        val acc = fusedAccFor(analyzerName, spec)
+        acc.reset()
+        if (graft.analysis.FusedTokenize.runAscii(buf, n, spec.kind, acc)) acc.result()
+        else {
+          acc.reset()
+          graft.analysis.FusedTokenize.run(spec.kind, value.toString, acc)
+          acc.result()
+        }
+      case None => analyzeFieldFlat(analyzerName, value.toString)
+    }
+  }
+
+  private[index] val TokFlatType: StructType = StructType(Seq(
+    StructField("len", IntegerType, nullable = false),
+    StructField("norm", IntegerType, nullable = false),
+    StructField("blob", BinaryType, nullable = true)))
+
+  /** Native tokenize expression for plain text fields: evaluates on the
+    * engine's `UTF8String` directly, skipping the ScalaUDF input converter's
+    * per-(doc,field) String + backing-array allocation and its output
+    * converter layers (measured ~5% of 8c executor samples plus the GC/
+    * bandwidth churn of ~1 text copy per document — the wide build phase's
+    * known tax). Not codegen'd (neither was the ScalaUDF it replaces);
+    * deliberately NOT `foldable` and not collapse-cheap, preserving the
+    * tokenize-once-per-row plan shape documented at the call site.
+    */
+  final case class TokenizeFlatExpr(analyzerName: String, child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = TokFlatType
+    override def nullable: Boolean = false // null input → EmptyTokFlat row
+    override def prettyName: String = "tokenize_flat"
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"tokenize_flat requires a string child, got ${child.dataType}")
+
+    override def eval(input: InternalRow): Any = {
+      val tf = analyzeFieldFlatUtf8(analyzerName, child.eval(input).asInstanceOf[UTF8String])
+      val row = new GenericInternalRow(3)
+      row.setInt(0, tf.len)
+      row.setInt(1, tf.norm)
+      row.update(2, tf.blob)
+      row
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): TokenizeFlatExpr =
+      copy(child = newChild)
   }
 
   /** Streaming token accumulator: an open-addressed, generation-stamped
@@ -1345,7 +1425,14 @@ object IndexBuilder {
                 if (toks == null) analyzeFieldFlat(an, text)
                 else toFlat(analyzePreTokenized(toks)))
                 .apply(col(s"${f.name}.text"), col(s"${f.name}.tokens"))
-            case _ => udf((s: String) => analyzeFieldFlat(an, s)).apply(col(f.name).cast(StringType))
+            case _ =>
+              // native expression: tokenizes the UTF8String in place (ASCII
+              // byte path + String fallback), no ScalaUDF converters
+              org.apache.spark.sql.graftbridge.ColumnBridge.column(
+                TokenizeFlatExpr(
+                  an,
+                  org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+                    col(f.name).cast(StringType))))
           }
       }
       f.name -> expr

@@ -42,7 +42,11 @@ class FusedAnalyzeSpec extends AnyFunSuite {
     (0 until 17000).map(i => s"t$i").mkString(" "),
     Seq.fill(17000)("rep").mkString(" "),
     "y" * 17000,
-    "ÅNGSTRÖM straße MASSE Måns"
+    "ÅNGSTRÖM straße MASSE Måns",
+    // ASCII tokens flushed into the sink BEFORE the first non-ASCII byte:
+    // the utf8 byte path must reset its partially-filled accumulator and
+    // re-run the String route without cross-contamination
+    "alpha beta the café gamma alpha"
   ) ++ (0 until 200).map(i => graft.gen.PageGen.page(i.toLong).text)
 
   /** Canonical shape: (term → tf, packed position deltas) sorted by term.
@@ -91,6 +95,18 @@ class FusedAnalyzeSpec extends AnyFunSuite {
       assertSame("summa", input,
         IndexBuilder.analyzeFieldFlat("summa", input),
         IndexBuilder.analyzeFieldFlatLegacy("summa", input))
+  }
+
+  test("utf8 byte path is output-identical to the legacy chain on the full battery") {
+    import org.apache.spark.unsafe.types.UTF8String
+    for (name <- analyzers; input <- battery)
+      assertSame(name, input,
+        IndexBuilder.analyzeFieldFlatUtf8(name, UTF8String.fromString(input)),
+        IndexBuilder.analyzeFieldFlatLegacy(name, input))
+    for (name <- analyzers)
+      assertSame(name, "<null>",
+        IndexBuilder.analyzeFieldFlatUtf8(name, null),
+        IndexBuilder.analyzeFieldFlatLegacy(name, null))
   }
 
   test("complex bases still route through the legacy chain unchanged") {
