@@ -410,7 +410,10 @@ object IndexBuilder {
         val n = value.numBytes
         var buf = asciiBytesTL.get()
         if (buf.length < n) {
-          buf = new Array[Byte](java.lang.Integer.highestOneBit(math.max(n - 1, 1)) * 2)
+          // doubled-power-of-two growth overflows to negative past 2^30 input
+          // bytes — allocate exactly n for such (>1 GiB single-field) values
+          val doubled = java.lang.Integer.highestOneBit(math.max(n - 1, 1)) * 2
+          buf = new Array[Byte](if (doubled >= n) doubled else n)
           asciiBytesTL.set(buf)
         }
         value.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET)
@@ -436,9 +439,10 @@ object IndexBuilder {
     * per-(doc,field) String + backing-array allocation and its output
     * converter layers (measured ~5% of 8c executor samples plus the GC/
     * bandwidth churn of ~1 text copy per document — the wide build phase's
-    * known tax). Not codegen'd (neither was the ScalaUDF it replaces);
-    * deliberately NOT `foldable` and not collapse-cheap, preserving the
-    * tokenize-once-per-row plan shape documented at the call site.
+    * known tax). Not codegen'd (neither was the ScalaUDF it replaces).
+    * `foldable` keeps UnaryExpression's child-derived default: the call site
+    * always feeds an attribute, so constant folding never fires there, and
+    * folding a literal child on the driver would be harmless anyway.
     */
   final case class TokenizeFlatExpr(analyzerName: String, child: Expression)
       extends UnaryExpression with CodegenFallback {

@@ -288,6 +288,15 @@ class Searcher(
         col("p.positions").as("positions")
       )
 
+  /** Phrase candidates via the block-aligned join (r6): positional posting
+    * BLOCK rows join on `(segment_id, block_id)` — one row per (term, block)
+    * instead of one per (doc, term) — and the doc intersection + alignment
+    * ([[PostingUdfs.phraseTf]], the same function the exploded plan applied)
+    * runs inside the matched block. Result-identical: a doc holding all
+    * terms sits in the same block in each term's postings, the norm comes
+    * from the first term's row exactly as before, and the score column is
+    * the same [[BM25.scoreCol]] over the same ints.
+    */
   private def phraseHits(pq: PhraseQuery, dfs: Map[(String, String), Long]): DataFrame = {
     val PhraseQuery(field, terms, slop) = pq
     if (terms.isEmpty) return emptyHits
@@ -297,20 +306,7 @@ class Searcher(
     val n = totalDocs(field)
     val sumIdf = terms.map { case (_, t) => BM25.idf(dfs((field, t)), n) }.sum
     val offsets = terms.map(_._1)
-    var joined = termPositions(field, terms.head._2)
-      .withColumnRenamed("positions", "pos_0")
-    terms.zipWithIndex.tail.foreach { case ((_, t), i) =>
-      val right = termPositions(field, t)
-        .select(col("segment_id"), col("doc_id"), col("positions").as(s"pos_$i"))
-      joined = joined.join(right, keys, "inner")
-    }
-    val posArray = array(terms.indices.map(i => col(s"pos_$i")): _*)
-    joined
-      .withColumn(
-        "phrase_tf",
-        phraseTfUdf(posArray, typedLit(offsets), lit(slop))
-      )
-      .filter(col("phrase_tf") > 0)
+    BlockJoin.phraseMatches(reader, field, terms.map(_._2), offsets, slop)
       .select(
         col("segment_id"),
         col("doc_id"),
@@ -319,9 +315,18 @@ class Searcher(
   }
 
   private def boolHits(bq: BooleanQuery, dfs: Map[(String, String), Long]): DataFrame = {
-    val mustDfs = bq.must.map(plan(_, dfs))
     val shouldDfs = bq.should.map(plan(_, dfs))
     val notDfs = bq.mustNot.map(plan(_, dfs))
+
+    // block-aligned conjunction (r6): when every must clause is a plain
+    // posting-backed term, join the PACKED block rows on (segment_id,
+    // block_id) and intersect inside the block instead of sort-merge-joining
+    // per-occurrence exploded rows — ~blockSpan× less shuffle, same result
+    // (scored with the same BM25.scoreCol columns, summed in clause order).
+    val mustTermSpecs = bq.must.collect {
+      case TermQuery(f, v) if fastTermCi(f).isEmpty => (f, v)
+    }
+    val blockMust = mustTermSpecs.size == bq.must.size && mustTermSpecs.size >= 2
 
     val shouldAgg: Option[DataFrame] =
       if (shouldDfs.isEmpty) None
@@ -335,12 +340,23 @@ class Searcher(
         )
 
     var base: DataFrame =
-      if (mustDfs.nonEmpty) {
-        val joined = mustDfs.zipWithIndex
-          .map { case (d, i) => d.withColumnRenamed("score", s"__s$i") }
-          .reduce((a, b) => a.join(b, keys, "inner"))
-        val total = mustDfs.indices.map(i => col(s"__s$i")).reduce(_ + _)
-        val withMust = joined.select(col("segment_id"), col("doc_id"), total.as("score"))
+      if (bq.must.nonEmpty) {
+        val withMust = if (blockMust) {
+          val scoreCols = mustTermSpecs.zipWithIndex.map { case ((f, t), i) =>
+            BM25.scoreCol(
+              element_at(col("tfs"), i + 1), element_at(col("norms"), i + 1),
+              BM25.idf(dfs.getOrElse((f, t), 0L), totalDocs(f)), avgdl(f), fieldnorms)
+          }
+          BlockJoin.mustTerms(reader, mustTermSpecs)
+            .select(col("segment_id"), col("doc_id"), scoreCols.reduce(_ + _).as("score"))
+        } else {
+          val mustDfs = bq.must.map(plan(_, dfs))
+          val joined = mustDfs.zipWithIndex
+            .map { case (d, i) => d.withColumnRenamed("score", s"__s$i") }
+            .reduce((a, b) => a.join(b, keys, "inner"))
+          val total = mustDfs.indices.map(i => col(s"__s$i")).reduce(_ + _)
+          joined.select(col("segment_id"), col("doc_id"), total.as("score"))
+        }
         shouldAgg match {
           case Some(sa) =>
             val minMatch = bq.minimumShouldMatch.getOrElse(0)
@@ -485,13 +501,14 @@ class Searcher(
     */
   def topDocs(q: Query, limit: Int, offset: Int = 0): DataFrame = {
     val rq = resolve(q)
-    // route should-only term bags through the block-max WAND pruned scan
+    // route same-field term bags (should-only, must+should(+mustNot), and
+    // term dismax since r6) through the block-max WAND pruned scan
     // (a pure optimization: result-identical, verified in tests)
     val top = WandTopK.eligible(rq) match {
       // raw stored fields skip WAND: the docs-scan fast path in termHits is
       // already a pruned column filter, cheaper than the posting block walk
-      case Some((f, terms)) if reader.deletes.isEmpty && fieldnorms && fastTermCi(f).isEmpty =>
-        WandTopK.topK(this, f, terms, offset + limit)
+      case Some(bag) if reader.deletes.isEmpty && fieldnorms && fastTermCi(bag.field).isEmpty =>
+        WandTopK.topK(this, bag, offset + limit)
       case _ =>
         search(rq)
           .orderBy(col("score").desc, col("segment_id").asc, col("doc_id").asc)

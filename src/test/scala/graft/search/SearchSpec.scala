@@ -102,6 +102,34 @@ class SearchSpec extends AnyFunSuite {
     assertScoresEqual(engineScores(q), want)
   }
 
+  test("block-aligned must conjunction is bitwise-identical to joining scored term sets") {
+    import org.apache.spark.sql.functions.col
+    // the pre-r6 exhaustive plan, expressed over the unchanged single-term
+    // path: per-occurrence scored sets joined on (segment_id, doc_id) with
+    // left-associated score sum — the block-join plan must reproduce these
+    // doubles BITWISE (the oracle-hash contract depends on it)
+    def old(terms: Seq[String]): Map[(Int, Int), Double] = {
+      val scored = terms.zipWithIndex.map { case (t, i) =>
+        searcher.search(TermQuery("text", t)).withColumnRenamed("score", s"__s$i")
+      }
+      val joined = scored.reduce((a, b) => a.join(b, Seq("segment_id", "doc_id"), "inner"))
+      val total = terms.indices.map(i => col(s"__s$i")).reduce(_ + _)
+      joined.select(col("segment_id"), col("doc_id"), total.as("score"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    }
+    for (terms <- Seq(Seq("spark", "window"), Seq("spark", "merge", "table"))) {
+      val q = BooleanQuery(terms.map(t => (Occur.Must, TermQuery("text", t): Query)))
+      val got = searcher.search(q)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      val want = old(terms)
+      assert(got.keySet == want.keySet)
+      got.foreach { case (k, s) =>
+        assert(s == want(k), s"score not bitwise-identical for $k: $s vs ${want(k)}")
+      }
+      assert(got.nonEmpty)
+    }
+  }
+
   test("boolean should = union with summed scores") {
     val q = BooleanQuery(Seq(
       (Occur.Should, TermQuery("text", "spark")),

@@ -75,10 +75,8 @@ class WandSpec extends AnyFunSuite {
     val q = BooleanQuery(Seq(
       (Occur.Should, TermQuery("text", "w0")),
       (Occur.Should, TermQuery("text", "w3"))))
-    assert(WandTopK.eligible(q).contains(("text", Seq("w0", "w3"))))
-    assert(WandTopK.eligible(BooleanQuery(Seq(
-      (Occur.Must, TermQuery("text", "w0")),
-      (Occur.Should, TermQuery("text", "w3"))))).isEmpty)
+    assert(WandTopK.eligible(q).contains(
+      WandTopK.TermBag("text", Nil, Seq("w0", "w3"), Nil, None)))
     val viaTopDocs = searcher.topDocs(q, 10)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
     assertSame(viaTopDocs, exhaustive(q, 10))
@@ -87,5 +85,103 @@ class WandSpec extends AnyFunSuite {
     val page2 = searcher.topDocs(q, 10, offset = 10)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
     assertSame(page2, all.drop(10))
+  }
+
+  // ---- r6 extended routing: must+should, mustNot, dismax ----
+
+  private def viaWand(q: Query, k: Int) = {
+    val bag = WandTopK.eligible(q)
+    assert(bag.nonEmpty, s"expected $q to be WAND-eligible")
+    WandTopK.topK(searcher, bag.get, k)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+  }
+
+  test("must+should bag: WAND == exhaustive (incl. must-only docs)") {
+    val q = BooleanQuery(Seq(
+      (Occur.Must, TermQuery("text", "w0")),
+      (Occur.Should, TermQuery("text", "w3"))))
+    assertSame(viaWand(q, 15), exhaustive(q, 15))
+  }
+
+  test("pure conjunction: WAND == exhaustive") {
+    val q = BooleanQuery(Seq(
+      (Occur.Must, TermQuery("text", "w0")),
+      (Occur.Must, TermQuery("text", "w1"))))
+    assertSame(viaWand(q, 20), exhaustive(q, 20))
+  }
+
+  test("should + mustNot: WAND == exhaustive (exclusion honored)") {
+    val q = BooleanQuery(Seq(
+      (Occur.Should, TermQuery("text", "w0")),
+      (Occur.Should, TermQuery("text", "w5")),
+      (Occur.MustNot, TermQuery("text", "w1"))))
+    val got = viaWand(q, 25)
+    assertSame(got, exhaustive(q, 25))
+    // sanity: the exclusion actually bites on this corpus
+    val without = exhaustive(BooleanQuery(Seq(
+      (Occur.Should, TermQuery("text", "w0")),
+      (Occur.Should, TermQuery("text", "w5")))), 25)
+    assert(got.map(h => (h._1, h._2)).toSet != without.map(h => (h._1, h._2)).toSet)
+  }
+
+  test("must + should + mustNot bag through topDocs routing") {
+    val q = BooleanQuery(Seq(
+      (Occur.Must, TermQuery("text", "w2")),
+      (Occur.Should, TermQuery("text", "w7")),
+      (Occur.MustNot, TermQuery("text", "w15"))))
+    assert(WandTopK.eligible(q).nonEmpty)
+    val viaTopDocs = searcher.topDocs(q, 12)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    assertSame(viaTopDocs, exhaustive(q, 12))
+  }
+
+  test("dismax bag: WAND == exhaustive") {
+    val q = DisjunctionMaxQuery(
+      Seq(TermQuery("text", "w0"), TermQuery("text", "w3"), TermQuery("text", "w9")), 0.3)
+    assert(WandTopK.eligible(q).contains(
+      WandTopK.TermBag("text", Nil, Seq("w0", "w3", "w9"), Nil, Some(0.3))))
+    assertSame(viaWand(q, 15), exhaustive(q, 15))
+    // tieBreaker 0 (pure max) and 1 (pure sum) edge combiners
+    for (tb <- Seq(0.0, 1.0)) {
+      val qq = DisjunctionMaxQuery(Seq(TermQuery("text", "w0"), TermQuery("text", "w5")), tb)
+      assertSame(viaWand(qq, 10), exhaustive(qq, 10))
+    }
+  }
+
+  test("ineligible shapes still fall back") {
+    // duplicate term in a group
+    assert(WandTopK.eligible(BooleanQuery(Seq(
+      (Occur.Should, TermQuery("text", "w0")),
+      (Occur.Should, TermQuery("text", "w0"))))).isEmpty)
+    // minimumShouldMatch > 1
+    assert(WandTopK.eligible(BooleanQuery(Seq(
+      (Occur.Should, TermQuery("text", "w0")),
+      (Occur.Should, TermQuery("text", "w3"))), Some(2))).isEmpty)
+    // msm with must present
+    assert(WandTopK.eligible(BooleanQuery(Seq(
+      (Occur.Must, TermQuery("text", "w0")),
+      (Occur.Should, TermQuery("text", "w3"))), Some(1))).isEmpty)
+    // cross-field bag
+    assert(WandTopK.eligible(BooleanQuery(Seq(
+      (Occur.Must, TermQuery("text", "w0")),
+      (Occur.Should, TermQuery("other", "w3"))))).isEmpty)
+    // non-term clause
+    assert(WandTopK.eligible(BooleanQuery(Seq(
+      (Occur.Must, TermQuery("text", "w0")),
+      (Occur.Should, PhraseQuery("text", Seq((0, "w1"), (1, "w2")), 0))))).isEmpty)
+    // dismax with out-of-range tieBreaker
+    assert(WandTopK.eligible(DisjunctionMaxQuery(
+      Seq(TermQuery("text", "w0"), TermQuery("text", "w3")), 1.5)).isEmpty)
+  }
+
+  test("missing must term yields empty; missing should term is dropped") {
+    val qEmpty = BooleanQuery(Seq(
+      (Occur.Must, TermQuery("text", "nosuchterm")),
+      (Occur.Should, TermQuery("text", "w0"))))
+    assert(viaWand(qEmpty, 10).isEmpty)
+    val qDrop = BooleanQuery(Seq(
+      (Occur.Must, TermQuery("text", "w0")),
+      (Occur.Should, TermQuery("text", "nosuchterm"))))
+    assertSame(viaWand(qDrop, 10), exhaustive(qDrop, 10))
   }
 }
