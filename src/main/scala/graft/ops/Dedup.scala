@@ -87,10 +87,18 @@ object Dedup {
     val keyed =
       if (maxShingleDf <= 0) exploded
       else {
-        val w = Window.partitionBy("s")
-        exploded.withColumn("__df", count(lit(1)).over(w))
-          .filter(col("__df") <= maxShingleDf)
-          .drop("__df")
+        // hot-shingle set via map-side partial aggregation (r6; guide §2.3
+        // "aggregate before you shuffle"): the former Window.partitionBy(s)
+        // shuffled EVERY exploded (id, shingle) row a second time just to
+        // count df; the groupBy shuffles one partially-aggregated row per
+        // distinct shingle, and only the (by construction tiny: ≤ occurrences
+        // / maxShingleDf) hot set reaches the anti-join, which AQE can then
+        // broadcast. Shingles are per-doc distinct, so count(*) == df in
+        // both shapes — identical results.
+        val hot = exploded.groupBy("s").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxShingleDf)
+          .select("s")
+        exploded.join(hot, Seq("s"), "left_anti")
       }
     val candidates = keyed.as("a")
       .join(keyed.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))

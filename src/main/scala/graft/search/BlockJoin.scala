@@ -122,6 +122,53 @@ object BlockJoin {
       out.result()
     })
 
+  /** One phrase-explain match: first-term norm + the matched base-term
+    * alignment positions ([[PostingUdfs.phraseMatchPositions]]).
+    */
+  final case class PhrasePosMatch(doc_id: Int, norm_id: Int, mpos: Seq[Int])
+
+  /** [[phraseUdf7]] variant for the per-hit explain path: emits the matched
+    * alignment positions instead of just their count — the same
+    * [[PostingUdfs.phraseMatchPositions]] the exploded detail plan applied.
+    */
+  val phrasePosUdf7: UserDefinedFunction =
+    udf((ds: Seq[Array[Byte]], ts: Seq[Array[Byte]], ps: Seq[Array[Byte]], m0: Array[Byte],
+         ns: Seq[Int], offsets: Seq[Int], slop: Int) => {
+      val k = ns.length
+      val ids = Array.tabulate(k)(i => PostingCodec.unpackDocIds(ds(i), ns(i)))
+      val tfs = Array.tabulate(k)(i => PostingCodec.unpackVarInts(ts(i), ns(i)))
+      val poss = Array.tabulate(k)(i => PostingCodec.unpackPositions(ps(i), tfs(i)))
+      val cursor = new Array[Int](k)
+      val out = Seq.newBuilder[PhrasePosMatch]
+      val lead = ids(0)
+      var i0 = 0
+      while (i0 < lead.length) {
+        val d = lead(i0)
+        var all = true
+        var j = 1
+        while (all && j < k) {
+          val a = ids(j)
+          var c = cursor(j)
+          while (c < a.length && a(c) < d) c += 1
+          cursor(j) = c
+          all = c < a.length && a(c) == d
+          j += 1
+        }
+        if (all) {
+          val positionsPerTerm: Seq[Seq[Int]] = Seq.tabulate(k) { t =>
+            val idx = if (t == 0) i0 else cursor(t)
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(poss(t)(idx))
+          }
+          val mpos = PostingUdfs.phraseMatchPositions(positionsPerTerm, offsets, slop)
+          if (mpos.nonEmpty)
+            out += PhrasePosMatch(d, m0(i0) & 0xFF,
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(mpos))
+        }
+        i0 += 1
+      }
+      out.result()
+    })
+
   /** Block rows of one term, columns suffixed by clause index. */
   private def termBlocks(reader: IndexReader, field: String, term: String, i: Int,
                          withPositions: Boolean): DataFrame = {
@@ -178,5 +225,29 @@ object BlockJoin {
         typedLit(offsets), lit(slop))).as("m"))
       .select(col("segment_id"), col("m.doc_id").as("doc_id"),
         col("m.tf").as("phrase_tf"), col("m.norm_id").as("norm_id"))
+  }
+
+  /** Phrase-explain candidates of ≥2 terms via the block join: returns
+    * `(segment_id, doc_id, norm_id, __mpos)` for docs with ≥1 alignment —
+    * identical to the exploded positional join + phraseMatchPositionsUdf
+    * filter (same alignment function, same first-term norm).
+    */
+  def phraseDetailMatches(reader: IndexReader, field: String, terms: Seq[String],
+                          offsets: Seq[Int], slop: Int): DataFrame = {
+    require(terms.size >= 2)
+    val n = terms.size
+    val joined = terms.zipWithIndex
+      .map { case (t, i) => termBlocks(reader, field, t, i, withPositions = true) }
+      .reduce((a, b) => a.join(b, Seq("segment_id", "block_id"), "inner"))
+    joined
+      .select(col("segment_id"), explode(phrasePosUdf7(
+        array((0 until n).map(i => col(s"__d$i")): _*),
+        array((0 until n).map(i => col(s"__t$i")): _*),
+        array((0 until n).map(i => col(s"__p$i")): _*),
+        col("__m0"),
+        array((0 until n).map(i => col(s"__n$i")): _*),
+        typedLit(offsets), lit(slop))).as("m"))
+      .select(col("segment_id"), col("m.doc_id").as("doc_id"),
+        col("m.norm_id").as("norm_id"), col("m.mpos").as("__mpos"))
   }
 }

@@ -273,21 +273,6 @@ class Searcher(
     }
   }
 
-  /** Positional postings of one term: (segment_id, doc_id, norm_id, positions). */
-  private def termPositions(field: String, term: String): DataFrame =
-    reader.postings
-      .filter(col("field") === field && col("term") === term && col("positions").isNotNull)
-      .select(
-        col("segment_id"),
-        explode(unpackPos(col("doc_ids"), col("tfs"), col("norms"), col("positions"), col("doc_count"))).as("p")
-      )
-      .select(
-        col("segment_id"),
-        col("p.doc_id").as("doc_id"),
-        col("p.norm_id").as("norm_id"),
-        col("p.positions").as("positions")
-      )
-
   /** Phrase candidates via the block-aligned join (r6): positional posting
     * BLOCK rows join on `(segment_id, block_id)` — one row per (term, block)
     * instead of one per (doc, term) — and the doc intersection + alignment
@@ -654,19 +639,12 @@ class Searcher(
     val n = totalDocs(field)
     val sumIdf = terms.map { case (_, t) => BM25.idf(dfs((field, t)), n) }.sum
     val offsets = terms.map(_._1)
-    var joined = termPositions(field, terms.head._2)
-      .withColumnRenamed("positions", "pos_0")
-    terms.zipWithIndex.tail.foreach { case ((_, t), i) =>
-      val right = termPositions(field, t)
-        .select(col("segment_id"), col("doc_id"), col("positions").as(s"pos_$i"))
-      joined = joined.join(right, keys, "inner")
-    }
-    val posArray = array(terms.indices.map(i => col(s"pos_$i")): _*)
     val phraseText =
       terms.map(_._2).mkString("\"", " ", "\"") + (if (slop > 0) s"~$slop" else "")
-    Some(joined
-      .withColumn("__mpos", phraseMatchPositionsUdf(posArray, typedLit(offsets), lit(slop)))
-      .filter(size(col("__mpos")) > 0)
+    // block-aligned candidate join (r6) — scoreLeaves guarantees ≥2 terms
+    // here (a single-term phrase explains as a TermLeaf); __mpos comes from
+    // the same phraseMatchPositions function the exploded plan applied
+    Some(BlockJoin.phraseDetailMatches(reader, field, terms.map(_._2), offsets, slop)
       .select(
         col("segment_id"), col("doc_id"),
         lit(field).as("field"), lit(phraseText).as("term"), lit("phrase").as("kind"),
