@@ -68,7 +68,20 @@ object Maintenance {
       .withColumnRenamed("key", "__key")
       .withColumn("segment_id", lit(newSeg))
     val sorted = IndexBuilder.shardAndSort(oldDocs, parts, oldDocs.columns.toSeq.map(col))
-    val (withIds, handle, _, _) = IndexBuilder.assignDocIds(sorted, parts, conf.persist)
+    val (withIds0, handle, _, _) = IndexBuilder.assignDocIds(sorted, parts, conf.persist)
+    // The docs write below OVERWRITES $indexDir/docs — the very path the
+    // cached assignment plan reads from. That insert triggers Spark's
+    // path-based recache, so a second consumption of the assignment (the
+    // posting-rebase mapping) would silently RECOMPUTE it from the rewritten
+    // table with fresh range-partition sampling — a different key→doc_id
+    // permutation than the one just written. (Latent since the merge was
+    // written; caught by CompactionSpec's 64-segment two-wave stress test:
+    // 821/1163 postings landed on wrong doc ids.) An EAGER localCheckpoint
+    // pins the assignment as materialized blocks detached from the input
+    // path, so both consumers read the same permutation; the build cache
+    // underneath is then released.
+    val withIds = withIds0.localCheckpoint()
+    handle.unpersist()
 
     withIds
       .drop("old_seg", "old_doc")
@@ -107,8 +120,6 @@ object Maintenance {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("segment_id")
       .parquet(s"$indexDir/postings")
-
-    handle.unpersist()
 
     // 3. per-segment stats + lineage for the new segment
     val parentDepth = reader.metrics
