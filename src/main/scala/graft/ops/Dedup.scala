@@ -274,8 +274,13 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+      // filter BEFORE the dedup exchange (guide §2.3): hamming is a pure
+      // function of the id pair, so every duplicate candidate row carries the
+      // same value and the filter commutes with dropDuplicates — but Catalyst
+      // cannot prove that, so ordering it first shuffles only the
+      // within-distance pairs instead of every chunk-collision candidate.
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact embedding-cosine near-duplicate pairs (all-pairs — use for

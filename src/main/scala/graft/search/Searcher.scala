@@ -19,6 +19,15 @@ object PostingUdfs {
       Array.tabulate(n)(i => PEntry(ids(i), tf(i), norms(i) & 0xFF))
     })
 
+  /** Ids-only decode for unscored membership paths (term-range, regex):
+    * skips the tf/norm varint decodes AND lets Catalyst prune the `tfs` /
+    * `norms` columns out of the parquet scan entirely (guide §2.3 / §6 —
+    * the full `unpack` struct forces all three binary columns to be read
+    * even when only `.doc_id` is consumed).
+    */
+  val unpackIds: UserDefinedFunction =
+    udf((docIds: Array[Byte], n: Int) => PostingCodec.unpackDocIds(docIds, n))
+
   val unpackPos: UserDefinedFunction =
     udf((docIds: Array[Byte], tfs: Array[Byte], norms: Array[Byte], pos: Array[Byte], n: Int) => {
       val ids = PostingCodec.unpackDocIds(docIds, n)
@@ -411,8 +420,7 @@ class Searcher(
         hi.map(v => if (iu) t <= v else t < v)).flatten
       reader.postings
         .filter(conds.reduce(_ && _))
-        .select(col("segment_id"), explode(unpack(col("doc_ids"), col("tfs"), col("norms"), col("doc_count"))).as("p"))
-        .select(col("segment_id"), col("p.doc_id").as("doc_id"))
+        .select(col("segment_id"), explode(unpackIds(col("doc_ids"), col("doc_count"))).as("doc_id"))
         .distinct()
         .withColumn("score", lit(1.0))
     case ExistsQuery(f) =>
@@ -423,8 +431,7 @@ class Searcher(
     case RegexQuery(f, pat) =>
       reader.postings
         .filter(col("field") === f && col("term").rlike(pat))
-        .select(col("segment_id"), explode(unpack(col("doc_ids"), col("tfs"), col("norms"), col("doc_count"))).as("p"))
-        .select(col("segment_id"), col("p.doc_id").as("doc_id"))
+        .select(col("segment_id"), explode(unpackIds(col("doc_ids"), col("doc_count"))).as("doc_id"))
         .distinct()
         .withColumn("score", lit(1.0))
     case mq: MatchQuery         => plan(resolve(mq), dfs)
@@ -534,7 +541,22 @@ class Searcher(
       .orderBy(col("score").desc, col("segment_id").asc, col("doc_id").asc)
   }
 
-  def count(q: Query): Long = search(q).count()
+  /** Matched-doc count (C4). Closed-form fast path: a single TermQuery on a
+    * tombstone-free index is answered straight from the per-segment termstats
+    * — df summed over live segments IS the matched-doc count (each doc
+    * containing the term contributes exactly 1 to its segment's df, and with
+    * no deletes there is nothing to subtract), for posting-backed and raw
+    * fast-path fields alike. One pruned stats probe, zero posting IO or
+    * decode. Any other query shape, or any tombstones, falls back to
+    * counting the scored doc-set (identical by the argument above, pinned in
+    * SearchSpec).
+    */
+  def count(q: Query): Long = resolve(q) match {
+    case TermQuery(f, v) if reader.deletes.isEmpty =>
+      reader.termDfs(Seq((f, v))).getOrElse((f, v), 0L)
+    case rq =>
+      reader.applyDeletes(plan(rq, reader.termDfs(collectTerms(rq).distinct))).count()
+  }
 
   /** SERVING-path count/facets/aggregation: probe the collector cache before
     * planning any Spark job, like [[collectTopDocs]] — the reference caches

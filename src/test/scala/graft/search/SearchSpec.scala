@@ -226,6 +226,33 @@ class SearchSpec extends AnyFunSuite {
     assert(engineScores(q).keySet == oracle.filter(_.terms.contains("spark")).map(_.id).toSet)
   }
 
+  test("regex / term-range plans decode doc ids only (tfs/norms pruned from the scan)") {
+    // r6: the unscored membership paths use the ids-only unpack, so the
+    // tf/norm binary columns must not appear anywhere in the physical plan
+    for (q <- Seq[Query](
+        RegexQuery("text", "sp.rk"),
+        TermRangeQuery("text", Some("spark"), Some("table"), true, true))) {
+      val plan = searcher.search(q).queryExecution.executedPlan.toString
+      assert(!plan.contains("tfs"), s"tfs not pruned for $q")
+      assert(!plan.contains("norms"), s"norms not pruned for $q")
+    }
+  }
+
+  test("count: closed-form term fast path equals the exhaustive doc-set count") {
+    // r6: count(TermQuery) on a tombstone-free index answers from termstats
+    for (t <- Seq("spark", "merge", "vector")) {
+      val q = TermQuery("text", t)
+      assert(searcher.count(q) == searcher.search(q).count(), s"term $t")
+    }
+    assert(searcher.count(TermQuery("text", "no_such_term")) == 0L)
+    // non-term shapes take the exhaustive path (pinned above in
+    // "all / empty / range / exists"); a boolean must agree with its doc-set
+    val bq = BooleanQuery(Seq(
+      (Occur.Must, TermQuery("text", "spark")),
+      (Occur.Must, TermQuery("text", "window"))))
+    assert(searcher.count(bq) == searcher.search(bq).count())
+  }
+
   test("topDocs ordering, limit, offset") {
     val hits = searcher.search(TermQuery("text", "spark"))
     val all = hits.collect().map(r => (r.getDouble(2), r.getInt(0), r.getInt(1)))
