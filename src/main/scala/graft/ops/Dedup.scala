@@ -291,10 +291,18 @@ object Dedup {
     val v = df.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
     val withNorm = v.withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
-    withNorm.as("a")
+    // the broadcast nested-loop join parallelizes over STREAMED-side
+    // partitions, and a small embedding table often arrives as ONE file →
+    // one task computing all O(n²) pairs; round-robin the streamed side
+    // across the session's cores (scale-adaptive, not a tuned constant) so
+    // the quadratic kernel uses the whole machine
+    val streamed = withNorm.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    streamed.as("a")
       .join(withNorm.as("b"), col("a.id") < col("b.id"))
-      .withColumn("dot",
-        aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y), lit(0.0), (a, x) => a + x))
+      // per-PAIR dot as one compiled loop (bit-identical fold order — see
+      // Similarity.dotPair): the interpreted HOF chain paid ~22 µs per pair
+      // here, 44.7 s for 2000² / 2 pairs at sf0.1
+      .withColumn("dot", Similarity.dotPair(col("a.v"), col("b.v")))
       .withColumn("cosine", col("dot") / (col("a.nrm") * col("b.nrm")))
       .filter(col("cosine") >= minCos)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), round(col("cosine"), 4).as("cosine"))

@@ -91,6 +91,22 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("dotPair loop UDF is bitwise-identical to the HOF fold (r6 all-pairs fast path)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
+    val pairs = emb.as("a").join(emb.as("b"), $"a.vec_id" < $"b.vec_id").limit(5000)
+      .select(
+        Similarity.dotPair($"a.v", $"b.v").as("fast"),
+        aggregate(zip_with($"a.v", $"b.v", (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+          .as("hof"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+  }
+
   test("brute-force cosine top-k is exact and ordered") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter($"vec_id" === 0).select("embedding").head()
