@@ -32,15 +32,45 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Word n-gram shingles of a whitespace-tokenized text column (distinct). */
-  def shingles(text: Column, n: Int): Column = {
-    val words = split(text, " ")
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(words) - n, lit(0))),
-        i => concat_ws(" ", slice(words, i + 1, lit(n)))
-      )
-    )
+  /** Word n-gram shingles of a whitespace-tokenized text column (distinct).
+    *
+    * Compiled loop UDF (r6): the former column form built every shingle
+    * through an interpreted `transform(sequence…, slice + concat_ws)` lambda
+    * — one array allocation + string join per shingle per evaluation, and
+    * the self-join shapes downstream evaluate the shingle pipeline up to 4×
+    * (both candidate sides + both verify sides). Semantics are identical to
+    * `array_distinct(transform(sequence(0, greatest(size-n, 0)), i =>
+    * concat_ws(" ", slice(words, i+1, n))))` over `split(text, " ")`:
+    * same single-space word split (trailing empties kept), same
+    * `max(size-n, 0)+1` windows (short texts yield one whole-text shingle),
+    * same first-occurrence-order dedup — pinned bitwise by an OpsSpec
+    * parity test against the old column form.
+    */
+  def shingles(text: Column, n: Int): Column = shinglesUdf(text, lit(n))
+
+  private val shinglesUdf = udf { (text: String, n: Int) =>
+    if (text == null) null
+    else {
+      val words = text.split(" ", -1)
+      val count = math.max(words.length - n, 0) + 1
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      while (i < count) {
+        val until = math.min(i + n, words.length)
+        val sb = new java.lang.StringBuilder
+        var j = i
+        while (j < until) {
+          if (j > i) sb.append(' ')
+          sb.append(words(j))
+          j += 1
+        }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[String](seen.size)
+      seen.toArray(out)
+      out
+    }
   }
 
   /** Verify candidate (id_a, id_b) pairs with exact Jaccard over the full
@@ -84,9 +114,31 @@ object Dedup {
   ): DataFrame = {
     val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
     val exploded = withSh.select(col("id"), explode(col("sh")).as("s"))
-    val keyed =
-      if (maxShingleDf <= 0) exploded
-      else {
+    if (maxShingleDf <= 0) {
+      // UNCAPPED exact path (r6): `exploded` is distinct per (id, shingle),
+      // so the shingle-key self-join emits exactly ONE row per (pair, shared
+      // distinct shingle) — |A∩B| is therefore a map-side-aggregated
+      // groupBy count over the join output, and the former shape's wide
+      // verification joins (both ~n-string shingle ARRAYS re-attached to
+      // every candidate pair, then a per-pair array_intersect) disappear
+      // outright. Measured at sf0.1 (1.13M candidate pairs, ~80-shingle
+      // docs): 16-17 s → ~2 s. Arithmetic identical: inter is the same
+      // shared-distinct-shingle count, |A|/|B| re-join by id from the tiny
+      // per-doc size table, jaccard = inter/(|A|+|B|-inter) in the same
+      // double division, the same round(…, 4).
+      val sizes = withSh.select(col("id"), size(col("sh")).as("sz"))
+      return exploded.as("a")
+        .join(exploded.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("id").as("id_a"), col("sz").as("__sza")), "id_a")
+        .join(sizes.select(col("id").as("id_b"), col("sz").as("__szb")), "id_b")
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("__sza") + col("__szb") - col("inter")))
+        .filter(col("jaccard") >= minJaccard)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    }
+    val keyed = {
         // hot-shingle set via map-side partial aggregation (r6; guide §2.3
         // "aggregate before you shuffle"): the former Window.partitionBy(s)
         // shuffled EVERY exploded (id, shingle) row a second time just to
@@ -152,6 +204,59 @@ object Dedup {
       }
     )
 
+  /** Codepoint fold identical to [[portableStringHash]]'s column form: the
+    * column version folds `ascii(substr(s, i, 1))` over character positions
+    * (= the codepoint of each character), so the loop walks codepoints.
+    */
+  private[ops] def stringHash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % HashP
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Compiled shingles→signature kernel (r6): one loop UDF computing the
+    * char fold + all `numHashes` affine min-maps per shingle. The column
+    * form evaluated an interpreted lambda per CHARACTER (with a `substr`
+    * slice allocation each) for the fold, plus `numHashes` interpreted
+    * lambdas per shingle for the signature — q_dedup_minhash at sf0.1 spent
+    * ~57 s of its 73.6 s there (the rest is the ngram-shaped candidate/
+    * verify part). Arithmetic is the exact column-form sequence — same fold
+    * order, same `(a_s·u + b_s) mod P` constants — pinned bitwise by an
+    * OpsSpec parity test; [[shinglesUdf]] guarantees `sh` is non-empty for
+    * non-null text, so the empty-array edge (column form: array of nulls)
+    * cannot arise.
+    */
+  private[ops] val minhashSigUdf = udf { (sh: Seq[String], numHashes: Int) =>
+    if (sh == null) null
+    else {
+      val as = new Array[Long](numHashes)
+      val bs = new Array[Long](numHashes)
+      var k = 0
+      while (k < numHashes) {
+        as(k) = (2654435761L * (k + 1)) % HashP
+        bs(k) = (1779033703L * (k + 1) + 144169L) % HashP
+        k += 1
+      }
+      val out = new Array[Long](numHashes)
+      java.util.Arrays.fill(out, Long.MaxValue)
+      sh.foreach { s =>
+        val u = stringHash(s)
+        var j = 0
+        while (j < numHashes) {
+          val h = (as(j) * u + bs(j)) % HashP
+          if (h < out(j)) out(j) = h
+          j += 1
+        }
+      }
+      out
+    }
+  }
+
   /** MinHash + LSH banding near-duplicate pairs. Signatures are banded; docs
     * sharing a band-hash become candidates (shuffle on the band key — a
     * bucket-join, never all-pairs); candidates are verified with exact
@@ -170,9 +275,7 @@ object Dedup {
     val rows = numHashes / bands
     val withSh = df
       .select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .withColumn("uh", transform(col("sh"), portableStringHash(_)))
-      .withColumn("sig", minhashSignatureOfHashes(col("uh"), numHashes))
-      .drop("uh")
+      .withColumn("sig", minhashSigUdf(col("sh"), lit(numHashes)))
     // the band join carries ONLY (id, band-key): shingle arrays re-join by id
     // during verification, halving the candidate-shuffle width. The band
     // hash is a fold over the band's signature slice seeded by the band

@@ -91,6 +91,28 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("compiled shingle + minhash-signature kernels are bitwise-identical to the column forms (r6)") {
+    // the pre-r6 column forms, verbatim
+    def colShingles(n: Int) = {
+      val words = split($"text", " ")
+      array_distinct(transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+    }
+    for (n <- Seq(1, 3, 7, 50)) { // 50 > every doc length: whole-text shingle path
+      val rows = docsDf
+        .select(Dedup.shingles($"text", n).as("fast"), colShingles(n).as("col")).collect()
+      rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$n"))
+    }
+    // minhashSignature = column charfold HOF + affine HOF min (the old path)
+    val sigRows = docsDf
+      .select(Dedup.shingles($"text", 3).as("sh"))
+      .select(
+        Dedup.minhashSigUdf($"sh", lit(16)).as("fast"),
+        Dedup.minhashSignature($"sh", 16).as("col"))
+      .collect()
+    sigRows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("dotPair loop UDF is bitwise-identical to the HOF fold (r6 all-pairs fast path)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
