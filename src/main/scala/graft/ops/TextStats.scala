@@ -23,13 +23,46 @@ object TextStats {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s]"), lit(0)))
 
-  /** Stop-word ratio over whitespace tokens (the classic quality signal). */
-  def stopwordRatio(text: Column): Column = {
-    val words = split(trim(text), "\\s+")
-    val stops = filter(words, w => w.isin(StopWords.All.toSeq: _*))
-    when(size(words) === 0, lit(0.0))
-      .otherwise(size(stops).cast("double") / size(words))
+  /** Stop-word ratio over whitespace tokens (the classic quality signal).
+    *
+    * Compiled loop UDF (r6): the former column form ran an interpreted
+    * `filter(words, isin(<321 stop words>))` — a linear 321-literal `In`
+    * scan per TOKEN per evaluation, and [[qualityScore]] evaluates the
+    * ratio a second time. The loop probes the stop SET once per token.
+    * Semantics identical to
+    * `when(size(words)===0, 0.0).otherwise(size(filter(words, isin(stops)))
+    * .cast(double)/size(words))` over `split(trim(text), "\\s+")`: same
+    * space-only trim, same Java-regex split keeping inner empties, same
+    * double division — pinned bitwise by an OpsSpec parity test.
+    */
+  def stopwordRatio(text: Column): Column = stopwordRatioUdf(text)
+
+  private def spaceTrim(s: String): String = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    s.substring(b, e)
   }
+
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  private def swRatio(text: String): Double = {
+    val t = spaceTrim(text)
+    if (t.isEmpty) 0.0
+    else {
+      val words = wsPattern.split(t, -1)
+      var stops = 0
+      var i = 0
+      while (i < words.length) {
+        if (StopWords.All.contains(words(i))) stops += 1
+        i += 1
+      }
+      stops.toDouble / words.length
+    }
+  }
+
+  private val stopwordRatioUdf = udf { (text: String) => Option(text).map(swRatio) }
 
   /** Oracle-portable 4-decimal rounding: `floor(x·10⁴ + 0.5)/10⁴` over the
     * raw binary double. Spark's `round(double, d)` rounds the double's

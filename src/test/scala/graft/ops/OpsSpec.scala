@@ -113,6 +113,26 @@ class OpsSpec extends AnyFunSuite {
     sigRows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("compiled stopwordRatio is bitwise-identical to the column form (r6)") {
+    // the pre-r6 column form, verbatim
+    def colRatio(text: org.apache.spark.sql.Column) = {
+      val words = split(trim(text), "\\s+")
+      val stops = filter(words, w => w.isin(graft.analysis.StopWords.All.toSeq: _*))
+      when(size(words) === 0, lit(0.0))
+        .otherwise(size(stops).cast("double") / size(words))
+    }
+    val edge = Seq("", "   ", " the a spark ", "a\t  the\nb", "the the the", "xyz")
+      .map(Tuple1(_)).toDF("text")
+    for (d <- Seq(docsDf.select($"text"), edge)) {
+      val rows = d.select(TextStats.stopwordRatio($"text").as("fast"),
+        colRatio($"text").as("col")).collect()
+      rows.foreach { r =>
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)), r.toString)
+      }
+    }
+  }
+
   test("dotPair loop UDF is bitwise-identical to the HOF fold (r6 all-pairs fast path)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select($"vec_id", transform($"embedding", _.cast("double")).as("v"))
